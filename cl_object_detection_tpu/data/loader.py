@@ -1,0 +1,165 @@
+"""Static-shape batch loader with background prefetch.
+
+Replaces the reference's torch DataLoader + ragged ``collater`` +
+``AspectRatioBasedSampler`` (/root/reference/retinanet/dataloader.py:327-485)
+with a TPU-friendly design:
+
+  * every batch has ONE static shape — images are bucketed by orientation
+    (landscape vs portrait) so only two compiled shapes ever exist;
+  * images come out NHWC float32 (XLA:TPU's preferred conv layout), GT is
+    padded to ``max_boxes`` with -1 sentinels;
+  * a background thread decodes/augments the next batches while the device
+    computes (the reference used 2 DataLoader worker processes,
+    il_trainer.py:127).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import DataConfig
+from .dataset import ILDataset
+from .transforms import hflip, normalize_image, pad_annotations, resize_and_pad
+
+
+@dataclass
+class Batch:
+    """One static-shape training/eval batch (all arrays host numpy)."""
+    images: np.ndarray        # (B, H, W, 3) float32, normalized
+    boxes: np.ndarray         # (B, M, 4) xyxy in RESIZED pixels, -1 padded
+    labels: np.ndarray        # (B, M) int32, -1 padded
+    num_boxes: np.ndarray     # (B,) int32
+    num_pseudo: np.ndarray    # (B,) int32 — pseudo-label suffix counts
+    scales: np.ndarray        # (B,) float32 resize scale (for unscaling preds)
+    image_ids: np.ndarray     # (B,) int64 (-1 for pad slots)
+    is_replay: bool = False   # replay batches swap Adam beta1 (train.py:133)
+
+    @property
+    def size(self) -> int:
+        return self.images.shape[0]
+
+
+class BatchLoader:
+    """Iterates an ILDataset in orientation-bucketed, static-shape batches."""
+
+    def __init__(
+        self,
+        dataset: ILDataset,
+        cfg: DataConfig,
+        batch_size: Optional[int] = None,
+        shuffle: bool = True,
+        augment: bool = True,
+        drop_last: bool = False,
+        seed: int = 0,
+        is_replay: bool = False,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.batch_size = batch_size or cfg.batch_size
+        self.shuffle = shuffle
+        self.augment = augment
+        self.drop_last = drop_last
+        self.seed = seed
+        self.is_replay = is_replay
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    # ------------------------------------------------------------------
+    def _bucketed_batches(self) -> List[List[int]]:
+        """Group indices into batches of a single orientation.
+
+        Mirrors the intent of AspectRatioBasedSampler (dataloader.py:459-485):
+        aspect-homogeneous batches; group order shuffled per epoch. Short
+        final groups wrap around (order[x % len]) unless drop_last.
+        """
+        n = len(self.dataset)
+        rng = np.random.RandomState(self.seed + self._epoch)
+        land = [i for i in range(n) if self.dataset.image_aspect_ratio(i) >= 1.0]
+        port = [i for i in range(n) if self.dataset.image_aspect_ratio(i) < 1.0]
+        batches: List[List[int]] = []
+        for order in (land, port):
+            if not order:
+                continue
+            order = list(order)
+            if self.shuffle:
+                rng.shuffle(order)
+            for s in range(0, len(order), self.batch_size):
+                group = order[s : s + self.batch_size]
+                if len(group) < self.batch_size:
+                    if self.drop_last:
+                        continue
+                    # wrap-around fill, like the reference sampler
+                    group = [order[(s + k) % len(order)] for k in range(self.batch_size)]
+                batches.append(group)
+        if self.shuffle:
+            rng.shuffle(batches)
+        return batches
+
+    def _make_example(self, idx: int, rng: np.random.RandomState):
+        ds, cfg = self.dataset, self.cfg
+        img = ds.load_image(idx)
+        boxes, labels, num_pseudo = ds.load_annotations(idx)
+        if self.augment and rng.rand() < cfg.hflip_prob:
+            img, boxes = hflip(img, boxes)
+        img, boxes, scale = resize_and_pad(
+            img, boxes, cfg.min_side, cfg.max_side, cfg.height, cfg.width
+        )
+        img = normalize_image(img, cfg.mean, cfg.std)
+        pboxes, plabels, n = pad_annotations(boxes, labels, cfg.max_boxes)
+        return img, pboxes, plabels, n, num_pseudo, scale, ds.image_ids[idx]
+
+    def _assemble(self, group: Sequence[int], rng: np.random.RandomState) -> Batch:
+        ex = [self._make_example(i, rng) for i in group]
+        return Batch(
+            images=np.stack([e[0] for e in ex]),
+            boxes=np.stack([e[1] for e in ex]),
+            labels=np.stack([e[2] for e in ex]),
+            num_boxes=np.asarray([e[3] for e in ex], np.int32),
+            num_pseudo=np.asarray([e[4] for e in ex], np.int32),
+            scales=np.asarray([e[5] for e in ex], np.float32),
+            image_ids=np.asarray([e[6] for e in ex], np.int64),
+            is_replay=self.is_replay,
+        )
+
+    # ------------------------------------------------------------------
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Batch]:
+        batches = self._bucketed_batches()
+        self._epoch += 1
+        rng = np.random.RandomState(self.seed + self._epoch + 7919)
+        if self.prefetch <= 0:
+            for group in batches:
+                yield self._assemble(group, rng)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for group in batches:
+                    q.put(self._assemble(group, rng))
+            except BaseException as e:  # surface errors on the consumer side
+                q.put(e)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item

@@ -1,0 +1,116 @@
+"""Host-side image transforms producing STATIC canonical shapes.
+
+The reference resizes each image so min side -> 608 / max side <= 1024, pads
+H and W up to a multiple of 32, and then pads each *batch* to its ragged max
+(/root/reference/retinanet/dataloader.py:327-398). Ragged shapes would force
+an XLA recompile per batch, so here every image lands in one of two fixed
+canonical frames — landscape ``(height, width)`` or portrait
+``(width, height)`` — chosen by orientation, and batches are drawn from a
+single orientation bucket (the reference's AspectRatioBasedSampler,
+dataloader.py:459-485, already groups batches by aspect ratio, so this is
+the same idea made static).
+
+Note: the reference's Resizer pads a full extra 32px when a side is already
+32-aligned (dataloader.py:390-391) — a quirk we deliberately do not copy
+(SURVEY.md §7 hard-part 7).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover - cv2 is present in the target image
+    cv2 = None
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+def canonical_shape(h: int, w: int, height: int, width: int) -> Tuple[int, int]:
+    """Canonical padded frame for an image: landscape or portrait bucket."""
+    if w >= h:
+        return (height, width)
+    return (width, height)
+
+
+def compute_scale(h: int, w: int, min_side: int, max_side: int) -> float:
+    """Reference Resizer scale rule (dataloader.py:369-385)."""
+    smallest = min(h, w)
+    largest = max(h, w)
+    scale = min_side / smallest
+    if largest * scale > max_side:
+        scale = max_side / largest
+    return scale
+
+
+def resize_and_pad(
+    image: np.ndarray,
+    boxes: np.ndarray,
+    min_side: int,
+    max_side: int,
+    height: int,
+    width: int,
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Resize (bilinear) + zero-pad into the canonical frame.
+
+    Args:
+      image: (H, W, 3) float32 in [0, 1].
+      boxes: (N, 4) xyxy in source pixels.
+    Returns:
+      (padded image (Hc, Wc, 3), scaled boxes, scale).
+    """
+    h, w = image.shape[:2]
+    scale = compute_scale(h, w, min_side, max_side)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    ch, cw = canonical_shape(h, w, height, width)
+    nh, nw = min(nh, ch), min(nw, cw)
+
+    if cv2 is not None:
+        resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    else:  # tiny fallback for exotic test envs
+        ys = (np.arange(nh) * (h / nh)).astype(np.int64).clip(0, h - 1)
+        xs = (np.arange(nw) * (w / nw)).astype(np.int64).clip(0, w - 1)
+        resized = image[ys][:, xs]
+
+    out = np.zeros((ch, cw, 3), dtype=np.float32)
+    out[:nh, :nw] = resized
+    if boxes.size:
+        boxes = boxes * scale
+    return out, boxes.astype(np.float32), float(scale)
+
+
+def normalize_image(image: np.ndarray, mean=IMAGENET_MEAN, std=IMAGENET_STD) -> np.ndarray:
+    """ImageNet normalization (reference Normalizer, dataloader.py:424-434)."""
+    return (image - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+def hflip(image: np.ndarray, boxes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Horizontal flip with xyxy box remap (reference Augmenter,
+    dataloader.py:400-421). Operates on the UNPADDED image."""
+    w = image.shape[1]
+    image = image[:, ::-1].copy()
+    if boxes.size:
+        boxes = boxes.copy()
+        x1 = boxes[:, 0].copy()
+        x2 = boxes[:, 2].copy()
+        boxes[:, 0] = w - x2
+        boxes[:, 2] = w - x1
+    return image, boxes
+
+
+def pad_annotations(
+    boxes: np.ndarray, labels: np.ndarray, max_boxes: int
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Pad (N,4)/(N,) GT to static (max_boxes, 4)/(max_boxes,) with -1
+    sentinel rows (the reference collater pads annotations with -1,
+    dataloader.py:352)."""
+    n = min(len(boxes), max_boxes)
+    out_boxes = np.full((max_boxes, 4), -1.0, dtype=np.float32)
+    out_labels = np.full((max_boxes,), -1, dtype=np.int32)
+    if n:
+        out_boxes[:n] = boxes[:n]
+        out_labels[:n] = labels[:n]
+    return out_boxes, out_labels, n

@@ -1,0 +1,127 @@
+"""Static-shape detection post-processing: top-k + padded class-aware NMS.
+
+Re-implements the reference predict path
+(/root/reference/retinanet/model.py:494-605): per-anchor max-class score,
+score > 0.05 filter, then class-aware hard NMS at IoU 0.5
+(``torchvision.ops.batched_nms``) — but with STATIC shapes throughout:
+data-dependent filtering becomes top-k + validity masks, and class
+awareness uses the class-offset trick instead of per-class loops.
+
+This file is the pure-JAX/XLA version (runs on CPU too, used by tests and
+the detect CLI); ``nms_pallas.py`` holds the fused TPU kernel.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Detections(NamedTuple):
+    boxes: jnp.ndarray    # (D, 4) xyxy
+    scores: jnp.ndarray   # (D,)
+    labels: jnp.ndarray   # (D,) int32
+    valid: jnp.ndarray    # (D,) bool
+
+
+def top_k_detections(
+    boxes: jnp.ndarray,    # (A, 4) decoded + clipped
+    cls_prob: jnp.ndarray, # (A, C)
+    k: int,
+    score_thresh: float,
+):
+    """Per-anchor max-class reduction + top-k candidate selection.
+
+    Returns (boxes (k,4), scores (k,), labels (k,)); entries below the
+    score threshold carry score 0 (they sort last and are masked out
+    downstream). Mirrors model.py:535-540.
+    """
+    scores = jnp.max(cls_prob, axis=-1)
+    labels = jnp.argmax(cls_prob, axis=-1).astype(jnp.int32)
+    scores = jnp.where(scores > score_thresh, scores, 0.0)
+    k = min(k, scores.shape[0])
+    top_scores, idx = jax.lax.top_k(scores, k)
+    return jnp.take(boxes, idx, axis=0), top_scores, jnp.take(labels, idx)
+
+
+def nms_padded(
+    boxes: jnp.ndarray,   # (k, 4) sorted by descending score
+    scores: jnp.ndarray,  # (k,)
+    iou_thresh: float,
+) -> jnp.ndarray:
+    """Greedy hard NMS over score-sorted boxes. Returns keep mask (k,).
+
+    Exact greedy semantics (same result as torchvision nms): walk boxes in
+    score order; a box survives unless an earlier SURVIVING box overlaps it
+    beyond the threshold. Sequential over k via fori_loop — k is the small
+    static pre-NMS capacity (default 1000).
+    """
+    k = boxes.shape[0]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = jnp.clip(x2 - x1, 0) * jnp.clip(y2 - y1, 0)
+
+    iw = jnp.clip(jnp.minimum(x2[:, None], x2[None, :]) - jnp.maximum(x1[:, None], x1[None, :]), 0)
+    ih = jnp.clip(jnp.minimum(y2[:, None], y2[None, :]) - jnp.maximum(y1[:, None], y1[None, :]), 0)
+    inter = iw * ih
+    iou = inter / jnp.clip(areas[:, None] + areas[None, :] - inter, 1e-8)
+
+    order = jnp.arange(k)
+    keep0 = scores > 0.0
+
+    def body(i, keep):
+        alive = keep[i]
+        suppress = alive & (iou[i] > iou_thresh) & (order > i)
+        return keep & ~suppress
+
+    return jax.lax.fori_loop(0, k, body, keep0)
+
+
+def single_image_nms(
+    boxes: jnp.ndarray,     # (A, 4)
+    cls_prob: jnp.ndarray,  # (A, C)
+    *,
+    score_thresh: float = 0.05,
+    iou_thresh: float = 0.5,
+    pre_nms_topk: int = 1000,
+    max_detections: int = 300,
+) -> Detections:
+    """Full post-processing for one image (class-aware, static shapes)."""
+    cand_boxes, cand_scores, cand_labels = top_k_detections(
+        boxes, cls_prob, pre_nms_topk, score_thresh
+    )
+    # class-offset trick: boxes of different classes can never overlap
+    span = jnp.max(cand_boxes) + 1.0
+    offset = cand_labels.astype(cand_boxes.dtype)[:, None] * span
+    keep = nms_padded(cand_boxes + offset, cand_scores, iou_thresh)
+
+    kept_scores = jnp.where(keep, cand_scores, 0.0)
+    d = min(max_detections, kept_scores.shape[0])
+    out_scores, idx = jax.lax.top_k(kept_scores, d)
+    return Detections(
+        boxes=jnp.take(cand_boxes, idx, axis=0),
+        scores=out_scores,
+        labels=jnp.take(cand_labels, idx),
+        valid=out_scores > score_thresh,
+    )
+
+
+def batched_nms(
+    boxes: jnp.ndarray,     # (B, A, 4)
+    cls_prob: jnp.ndarray,  # (B, A, C)
+    *,
+    score_thresh: float = 0.05,
+    iou_thresh: float = 0.5,
+    pre_nms_topk: int = 1000,
+    max_detections: int = 300,
+) -> Detections:
+    """vmap of :func:`single_image_nms` over the batch."""
+    fn = lambda b, p: single_image_nms(
+        b,
+        p,
+        score_thresh=score_thresh,
+        iou_thresh=iou_thresh,
+        pre_nms_topk=pre_nms_topk,
+        max_detections=max_detections,
+    )
+    return jax.vmap(fn)(boxes, cls_prob)

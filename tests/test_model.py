@@ -1,0 +1,124 @@
+"""Model shape/init contracts + classifier expansion surgery."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cl_object_detection_tpu.config import ModelConfig
+from cl_object_detection_tpu.models import create_retinanet, expand_classifier
+from cl_object_detection_tpu.models.expand import classifier_class_vectors
+from cl_object_detection_tpu.ops.anchors import num_anchors_for_shape
+
+H, W, C = 64, 64, 5
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = ModelConfig(depth=18, compute_dtype="float32")
+    model = create_retinanet(cfg, num_classes=C)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
+    return model, params
+
+
+def test_forward_shapes(model_and_params):
+    model, variables = model_and_params
+    cls, reg = model.apply(variables, jnp.zeros((2, H, W, 3)))
+    A = num_anchors_for_shape(H, W)
+    assert cls.shape == (2, A, C)
+    assert reg.shape == (2, A, 4)
+
+
+def test_prior_init_probability(model_and_params):
+    """Zero-weight output conv + prior bias => p ~= 0.01 everywhere."""
+    model, variables = model_and_params
+    cls, reg = model.apply(variables, jnp.zeros((1, H, W, 3)))
+    np.testing.assert_allclose(np.asarray(cls), 0.01, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(reg), 0.0, atol=1e-6)
+
+
+def test_logits_mode(model_and_params):
+    model, variables = model_and_params
+    cls, _ = model.apply(variables, jnp.zeros((1, H, W, 3)), enable_act=False)
+    expected = -np.log((1 - 0.01) / 0.01)
+    np.testing.assert_allclose(np.asarray(cls), expected, atol=1e-3)
+
+
+def test_forward_all_features(model_and_params):
+    model, variables = model_and_params
+    cls, reg, feats = model.apply(
+        variables, jnp.zeros((1, H, W, 3)), method="forward_all"
+    )
+    assert len(feats) == 5
+    assert feats[0].shape == (1, H // 8, W // 8, 256)
+    assert feats[4].shape == (1, -(-H // 128), -(-W // 128), 256)
+
+
+def test_classification_features(model_and_params):
+    model, variables = model_and_params
+    cls, reg, feats, unfolded = model.apply(
+        variables, jnp.zeros((1, H, W, 3)), method="classification_features"
+    )
+    cells = sum(f.shape[1] * f.shape[2] for f in feats)
+    assert unfolded.shape == (1, cells, 256 * 9)
+
+
+def test_expand_classifier(model_and_params):
+    model, variables = model_and_params
+    params = variables["params"]
+    key = "classification_head"
+
+    # make old weights distinguishable
+    import copy
+    params = copy.deepcopy(jax.tree.map(np.asarray, params))
+    kh, kw, cin, total = params[key]["output"]["kernel"].shape
+    c_old = total // 9
+    assert c_old == C
+    params[key]["output"]["kernel"] = np.random.RandomState(0).randn(
+        kh, kw, cin, total
+    ).astype(np.float32)
+
+    sim = np.array([[0.5, 0.5, 0, 0, 0]], np.float32)  # 1 new class
+    new_params = expand_classifier(params, 1, similarity=sim, method="mean")
+    k_new = new_params[key]["output"]["kernel"]
+    assert k_new.shape == (kh, kw, cin, 9 * (C + 1))
+
+    old = params[key]["output"]["kernel"].reshape(kh, kw, cin, 9, C)
+    new = np.asarray(k_new).reshape(kh, kw, cin, 9, C + 1)
+    # old classes preserved per anchor slot
+    np.testing.assert_allclose(new[..., :C], old)
+    # new class = 0.5*class0 + 0.5*class1
+    np.testing.assert_allclose(
+        new[..., C], 0.5 * old[..., 0] + 0.5 * old[..., 1], rtol=1e-5
+    )
+    # bias: old kept, new = prior + 0.5*b0 + 0.5*b1
+    b_old = params[key]["output"]["bias"].reshape(9, C)
+    b_new = np.asarray(new_params[key]["output"]["bias"]).reshape(9, C + 1)
+    np.testing.assert_allclose(b_new[:, :C], b_old)
+    prior = -np.log(0.99 / 0.01)
+    np.testing.assert_allclose(
+        b_new[:, C], prior + 0.5 * b_old[:, 0] + 0.5 * b_old[:, 1], rtol=1e-5
+    )
+
+
+def test_expanded_model_runs(model_and_params):
+    model, variables = model_and_params
+    cfg = ModelConfig(depth=18, compute_dtype="float32")
+    from cl_object_detection_tpu.models import create_retinanet as mk
+
+    new_params = expand_classifier(variables["params"], 2, method="none")
+    bigger = mk(cfg, num_classes=C + 2)
+    out_cls, _ = bigger.apply(
+        {"params": new_params, "batch_stats": variables["batch_stats"]},
+        jnp.zeros((1, H, W, 3)),
+    )
+    A = num_anchors_for_shape(H, W)
+    assert out_cls.shape == (1, A, C + 2)
+    # new classes at prior probability
+    np.testing.assert_allclose(np.asarray(out_cls[..., C:]), 0.01, atol=1e-3)
+
+
+def test_class_vectors_deinterleave(model_and_params):
+    model, variables = model_and_params
+    vecs = classifier_class_vectors(variables["params"])
+    kh, kw, cin, total = variables["params"]["classification_head"]["output"]["kernel"].shape
+    assert vecs.shape == (C, 9 * kh * kw * cin)

@@ -1,0 +1,85 @@
+"""Padded NMS vs a naive O(n^2) numpy greedy reference."""
+import numpy as np
+
+from cl_object_detection_tpu.ops.nms import batched_nms, nms_padded, single_image_nms
+
+
+def naive_nms(boxes, scores, thresh):
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if scores[i] <= 0 or suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if j == i or suppressed[j]:
+                continue
+            ax1, ay1, ax2, ay2 = boxes[i]
+            bx1, by1, bx2, by2 = boxes[j]
+            iw = max(0, min(ax2, bx2) - max(ax1, bx1))
+            ih = max(0, min(ay2, by2) - max(ay1, by1))
+            inter = iw * ih
+            union = max((ax2 - ax1) * (ay2 - ay1) + (bx2 - bx1) * (by2 - by1) - inter, 1e-8)
+            if inter / union > thresh:
+                suppressed[j] = True
+    return sorted(keep)
+
+
+def test_nms_matches_naive(rng):
+    n = 64
+    boxes = rng.rand(n, 4).astype(np.float32) * 100
+    boxes[:, 2:] = boxes[:, :2] + 5 + rng.rand(n, 2).astype(np.float32) * 40
+    scores = rng.rand(n).astype(np.float32)
+    order = np.argsort(-scores)
+    sboxes, sscores = boxes[order], scores[order]
+
+    keep = np.asarray(nms_padded(sboxes, sscores, 0.5))
+    got = sorted(order[np.where(keep)[0]].tolist())
+    assert got == naive_nms(boxes, scores, 0.5)
+
+
+def test_zero_scores_not_kept(rng):
+    boxes = rng.rand(8, 4).astype(np.float32) * 50
+    boxes[:, 2:] += boxes[:, :2] + 5
+    scores = np.zeros(8, np.float32)
+    keep = np.asarray(nms_padded(boxes, scores, 0.5))
+    assert not keep.any()
+
+
+def test_single_image_class_aware(rng):
+    """Two perfectly-overlapping boxes of DIFFERENT classes both survive."""
+    A, C = 32, 3
+    boxes = np.tile(np.array([[10, 10, 50, 50]], np.float32), (A, 1))
+    prob = np.full((A, C), 1e-4, np.float32)
+    prob[0, 0] = 0.9
+    prob[1, 1] = 0.8
+    det = single_image_nms(boxes, prob, max_detections=10)
+    valid = np.asarray(det.valid)
+    assert valid.sum() == 2
+    got = set(np.asarray(det.labels)[valid].tolist())
+    assert got == {0, 1}
+
+
+def test_same_class_suppressed(rng):
+    A, C = 16, 2
+    boxes = np.tile(np.array([[10, 10, 50, 50]], np.float32), (A, 1))
+    prob = np.full((A, C), 1e-4, np.float32)
+    prob[0, 0] = 0.9
+    prob[1, 0] = 0.8  # same class, same box -> suppressed
+    det = single_image_nms(boxes, prob, max_detections=10)
+    assert np.asarray(det.valid).sum() == 1
+    assert float(det.scores[0]) > 0.89
+
+
+def test_batched(rng):
+    B, A, C = 2, 40, 4
+    boxes = rng.rand(B, A, 4).astype(np.float32) * 100
+    boxes[..., 2:] = boxes[..., :2] + 10
+    prob = rng.rand(B, A, C).astype(np.float32) * 0.5
+    det = batched_nms(boxes, prob, max_detections=20)
+    assert det.boxes.shape == (B, 20, 4)
+    assert det.scores.shape == (B, 20)
+    # scores sorted descending per image
+    s = np.asarray(det.scores)
+    assert (np.diff(s, axis=1) <= 1e-6).all()
