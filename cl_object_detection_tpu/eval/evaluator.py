@@ -1,0 +1,98 @@
+"""Evaluation orchestration: batched predict -> COCO-json results ->
+per-class AP/recall, with the reference's artifact layout.
+
+Replaces the reference ``Evaluator``/``multi_evaluation``
+(/root/reference/evaluator.py:27-426). The reference parallelized
+batch-size-1 GPU inference with a thread pool; here one jitted batched
+predict saturates the chip, so the orchestration is a simple loop.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import DataConfig, PredictConfig
+from ..data.coco import CocoJson
+from ..data.dataset import ILDataset
+from ..data.loader import BatchLoader
+from ..states import ILStates
+from .coco_eval import CocoProtocolEval, EvalResult
+from .predictor import detections_to_coco, make_predict_fn
+
+
+class Evaluator:
+    """Evaluate a model checkpoint on one IL state's test split."""
+
+    def __init__(
+        self,
+        coco: CocoJson,
+        states: ILStates,
+        image_dir: str,
+        data_cfg: DataConfig,
+        predict_cfg: PredictConfig,
+        state_index: int = 0,
+        eval_on_train: bool = False,
+    ):
+        self.coco = coco
+        self.states = states
+        self.state_index = state_index
+        self.predict_cfg = predict_cfg
+        self.data_cfg = data_cfg
+        split = "train" if eval_on_train else "test"
+        self.dataset = ILDataset(
+            coco, states, image_dir, split=split, start_state=state_index,
+            use_all_class=True,
+        )
+        self.loader = BatchLoader(
+            self.dataset, data_cfg, shuffle=False, augment=False,
+            drop_last=False,
+        )
+        self.label_to_cat = states.inverse_label_map()
+
+    # ------------------------------------------------------------------
+    def predict_dataset(self, model, variables, progress: bool = False) -> List[dict]:
+        """Run batched inference over the whole split; returns COCO result
+        rows (deduped — the static loader wraps short batches)."""
+        predict = make_predict_fn(model, self.predict_cfg)
+        seen: set = set()
+        results: List[dict] = []
+        it = self.loader
+        if progress:
+            import tqdm
+
+            it = tqdm.tqdm(it, total=len(self.loader))
+        for batch in it:
+            det = predict(variables, batch.images)
+            rows = detections_to_coco(
+                det, batch, self.label_to_cat, self.predict_cfg.score_thresh
+            )
+            fresh_ids = [i for i in batch.image_ids.tolist() if i not in seen]
+            fresh = set(fresh_ids)
+            results.extend(r for r in rows if r["image_id"] in fresh)
+            seen |= fresh
+        return results
+
+    def evaluate(self, results: List[dict], ignore_other_img: bool = False) -> EvalResult:
+        ev = CocoProtocolEval(self.coco, self.dataset.image_ids)
+        cat_ids = self.states[self.state_index].knowing_ids
+        return ev.evaluate(results, cat_ids, ignore_other_img=ignore_other_img)
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        model,
+        variables,
+        result_dir: Optional[str] = None,
+        epoch: int = 0,
+        dataset_name: str = "voc2007",
+    ) -> EvalResult:
+        results = self.predict_dataset(model, variables)
+        if result_dir:
+            os.makedirs(result_dir, exist_ok=True)
+            path = os.path.join(result_dir, f"{dataset_name}_results_epoch{epoch}.json")
+            with open(path, "w") as f:
+                json.dump(results, f)
+        return self.evaluate(results)

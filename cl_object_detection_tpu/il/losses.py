@@ -1,0 +1,257 @@
+"""IL loss composition — the reference's ``IL_Loss`` as a pure function.
+
+The reference's composer (/root/reference/retinanet/losses.py:454-739) is a
+stateful object holding a back-pointer to the trainer and dispatching on
+~15 config flags. Here it is one pure function
+
+    total, metrics = compute_losses(variables, teacher_variables, batch, ...)
+
+specialized by a frozen :class:`LossStatics` (everything that's a Python
+bool/int at trace time) so each (state, batch-kind) combination compiles to
+one fused XLA program. Loss-key taxonomy matches the reference exactly
+(cls_bg_loss, cls_fg_loss, reg_loss, dist_cls_loss, dist_reg_loss,
+dist_feat_loss, sim_loss, enhance_loss, enhance_on_new_loss, mas_loss,
+prototype_loss, total_loss) so records/reports line up.
+
+Semantics reproduced (losses.py:515-739, train.py:15-80):
+  * plain path (state 0 / replay batch / classifier-warm-stage): focal on
+    activated scores; on replay batches the per-image fg losses below
+    ``clip_replay_cls_loss`` are dropped from the mean (losses.py:575-582);
+  * incremental path: focal on sigmoid(logits); per-image fg losses below
+    ``clip_cls_loss`` dropped (losses.py:650-657); distillation from the
+    frozen teacher: cosine feature loss summed over the 5 FPN maps
+    (mean over B*H*W vectors per map), smooth-L1 (beta=1) regression
+    distill on (student-not-positive AND teacher-fg) anchors, MSE
+    classification distill on teacher-fg entries — on logits or
+    probabilities per ``distill_logits`` (losses.py:677-737);
+  * enhance_error on replay batches: mean |p|^k over new-class scores
+    > 0.05 (losses.py:591-603);
+  * MAS penalty and classifier-similarity loss as separate pure helpers.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FocalConfig, ILConfig
+from ..ops.focal_loss import focal_loss
+
+
+@dataclass(frozen=True)
+class LossStatics:
+    """Trace-time-static description of the current (state, batch) kind."""
+    num_classes: int
+    num_past_class: int = 0
+    incremental: bool = False          # cur_state>0 ∧ ¬replay ∧ ¬warm-cls
+    is_replay: bool = False
+    is_bic: bool = False
+    use_distill: bool = False
+    distill_logits: bool = False
+    use_pseudo_progress: bool = False
+    use_enhance_error: bool = False
+    enhance_error_method: str = "L2"
+    use_enhance_on_new: bool = False
+    use_classifier_loss: bool = False
+    use_mas: bool = False
+    use_prototype: bool = False
+    ignore_gd: bool = False
+
+
+def _masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    cnt = jnp.sum(mask.astype(jnp.float32))
+    return jnp.sum(jnp.where(mask, values, 0.0)) / jnp.maximum(cnt, 1.0)
+
+
+def _clip_fg_mean(fg_per_image: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """Mean of per-image fg losses >= threshold; 0 if none survive
+    (losses.py:575-582, 650-657)."""
+    mask = fg_per_image >= threshold
+    cnt = jnp.sum(mask.astype(jnp.float32))
+    mean = jnp.sum(jnp.where(mask, fg_per_image, 0.0)) / jnp.maximum(cnt, 1.0)
+    return jnp.where(cnt > 0, mean, 0.0)
+
+
+def _smooth_l1(diff: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
+    ad = jnp.abs(diff)
+    return jnp.where(ad < beta, 0.5 * ad * ad / beta, ad - 0.5 * beta)
+
+
+def _cosine_feat_loss(feat_s, feat_t) -> jnp.ndarray:
+    """CosineEmbeddingLoss(target=1) summed over FPN levels
+    (losses.py:684-697): per level, mean over all spatial vectors of
+    (1 - cos(student, teacher))."""
+    total = 0.0
+    for fs, ft in zip(feat_s, feat_t):
+        fs = fs.astype(jnp.float32).reshape(-1, fs.shape[-1])
+        ft = ft.astype(jnp.float32).reshape(-1, ft.shape[-1])
+        num = jnp.sum(fs * ft, axis=-1)
+        den = jnp.linalg.norm(fs, axis=-1) * jnp.linalg.norm(ft, axis=-1)
+        cos = num / jnp.maximum(den, 1e-8)
+        total = total + jnp.mean(1.0 - cos)
+    return total
+
+
+def mas_penalty(params, prev_params, importance, ratio: float) -> jnp.ndarray:
+    """MAS regularizer: sum Ω_i (θ_i - θ_prev_i)^2 * ratio
+    (IL_method/mas.py:132-140). ``importance`` has the same tree structure
+    as params (missing/None leaves contribute 0 — e.g. the expanded
+    classifier output)."""
+    def leaf(p, pp, om):
+        if om is None or pp is None:
+            return 0.0
+        p = p.astype(jnp.float32)
+        pp = pp.astype(jnp.float32)
+        if p.shape != pp.shape:
+            return 0.0
+        return jnp.sum(om * (p - pp) ** 2)
+
+    losses = jax.tree.map(leaf, params, prev_params, importance,
+                          is_leaf=lambda x: x is None)
+    return ratio * sum(jax.tree.leaves(losses))
+
+
+def classifier_similarity_loss(
+    new_class_vectors: jnp.ndarray,   # (C_new, D) current new-class weights
+    past_class_vectors: jnp.ndarray,  # (C_old, D) frozen teacher weights
+    delta: float = 0.5,
+) -> jnp.ndarray:
+    """Cosine-margin penalty pushing new classifiers away from old ones
+    (losses.py:491-513): sum over new classes of
+    sum(clamp(|cos(w_new, w_old)| - delta, 0))."""
+    pn = jnp.linalg.norm(past_class_vectors, axis=1)
+    total = 0.0
+    for j in range(new_class_vectors.shape[0]):
+        w = new_class_vectors[j]
+        cos = past_class_vectors @ w / jnp.maximum(pn * jnp.linalg.norm(w), 1e-12)
+        total = total + jnp.sum(jnp.clip(jnp.abs(cos) - delta, 0.0))
+    return total
+
+
+def compute_losses(
+    model_apply,                       # fn(variables, images, enable_act) -> (cls, reg)
+    model_apply_with_feats,            # fn(variables, images, enable_act) -> (cls, reg, feats)
+    variables: Dict,
+    images: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    anchors: jnp.ndarray,
+    il_cfg: ILConfig,
+    focal_cfg: FocalConfig,
+    statics: LossStatics,
+    *,
+    teacher_apply_with_feats=None,
+    teacher_variables: Optional[Dict] = None,
+    pseudo_progress: Optional[jnp.ndarray] = None,
+    bic_correct=None,                  # fn(logits) -> logits (current state slice)
+    mas_prev_params=None,
+    mas_importance=None,
+    classifier_vectors: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    prototype_extras=None,             # (cls_features_fn_output, prototype_features)
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    s = statics
+    result: Dict[str, jnp.ndarray] = {}
+
+    if not s.incremental:
+        # ---------------- plain path (losses.py:556-603) ----------------
+        if bic_correct is not None:
+            logits, regression = model_apply(variables, images, False)
+            cls = jax.nn.sigmoid(bic_correct(logits))
+        else:
+            cls, regression = model_apply(variables, images, True)
+
+        out = focal_loss(
+            cls, regression, anchors, gt_boxes, gt_labels,
+            alpha=focal_cfg.alpha, gamma=focal_cfg.gamma,
+            fg_iou=focal_cfg.fg_iou, bg_iou=focal_cfg.bg_iou,
+        )
+        if il_cfg.clip_loss and s.is_replay:
+            result["cls_fg_loss"] = _clip_fg_mean(out.fg_loss, il_cfg.clip_replay_cls_loss)
+        else:
+            result["cls_fg_loss"] = jnp.mean(out.fg_loss)
+        result["cls_bg_loss"] = jnp.mean(out.bg_loss)
+        result["reg_loss"] = jnp.mean(out.reg_loss)
+
+        if s.use_enhance_error and s.is_replay and not s.is_bic:
+            pn = cls[:, :, s.num_past_class:]
+            mask = pn > 0.05
+            k = {"L1": 1, "L2": 2, "L3": 3}[s.enhance_error_method.upper()]
+            vals = jnp.abs(pn) ** k
+            # sum(|p|^k over selected)/max(count,1) (losses.py:596-601)
+            result["enhance_loss"] = jnp.sum(jnp.where(mask, vals, 0.0)) / jnp.maximum(
+                jnp.sum(mask.astype(jnp.float32)), 1.0
+            )
+    else:
+        # -------------- incremental path (losses.py:605-737) ------------
+        logits, regression, feats = model_apply_with_feats(variables, images, False)
+        if bic_correct is not None:
+            logits = bic_correct(logits)
+        cls = jax.nn.sigmoid(logits)
+
+        out = focal_loss(
+            cls, regression, anchors, gt_boxes, gt_labels,
+            alpha=focal_cfg.alpha, gamma=focal_cfg.gamma,
+            num_past_class=s.num_past_class, incremental=True,
+            ignore_past_class=il_cfg.ignore_past_class,
+            new_ignore_past_class=il_cfg.new_ignore_past_class,
+            decrease_positive=il_cfg.decrease_positive,
+            decrease_positive_by_iou=il_cfg.decrease_positive_by_iou,
+            enhance_on_new=s.use_enhance_on_new,
+            pseudo_progress=pseudo_progress if s.use_pseudo_progress else None,
+            fg_iou=focal_cfg.fg_iou, bg_iou=focal_cfg.bg_iou,
+        )
+        if il_cfg.clip_loss:
+            result["cls_fg_loss"] = _clip_fg_mean(out.fg_loss, il_cfg.clip_cls_loss)
+        else:
+            result["cls_fg_loss"] = jnp.mean(out.fg_loss)
+        result["cls_bg_loss"] = jnp.mean(out.bg_loss)
+        result["reg_loss"] = jnp.mean(out.reg_loss)
+        if s.use_enhance_on_new:
+            result["enhance_on_new_loss"] = out.enhance_on_new_loss
+
+        if s.use_distill:
+            assert teacher_apply_with_feats is not None and teacher_variables is not None
+            t_logits, t_reg, t_feats = teacher_apply_with_feats(
+                teacher_variables, images, False
+            )
+            t_logits = jax.lax.stop_gradient(t_logits)
+            t_reg = jax.lax.stop_gradient(t_reg)
+            t_feats = jax.tree.map(jax.lax.stop_gradient, t_feats)
+
+            result["dist_feat_loss"] = _cosine_feat_loss(feats, t_feats)
+
+            s_old = logits[:, :, : s.num_past_class]       # old-class slice
+            if s.distill_logits:
+                t_prob = jax.nn.sigmoid(t_logits)
+                s_cmp, t_cmp = s_old, t_logits
+            else:
+                t_prob = jax.nn.sigmoid(t_logits)
+                s_cmp, t_cmp = jax.nn.sigmoid(s_old), t_prob
+            t_fg = t_prob > 0.05                            # (B, A, C_old)
+
+            reg_mask = out.bg_mask & jnp.any(t_fg, axis=2)  # (B, A)
+            reg_diff = _smooth_l1(t_reg - regression, beta=1.0)
+            result["dist_reg_loss"] = jnp.sum(
+                jnp.where(reg_mask[..., None], reg_diff, 0.0)
+            ) / jnp.maximum(jnp.sum(reg_mask.astype(jnp.float32)) * 4.0, 1.0)
+
+            cls_mask = reg_mask[..., None] & t_fg if s.ignore_gd else t_fg
+            result["dist_cls_loss"] = _masked_mean((t_cmp - s_cmp) ** 2, cls_mask)
+
+            if s.use_classifier_loss and classifier_vectors is not None:
+                new_vecs, past_vecs = classifier_vectors
+                result["sim_loss"] = classifier_similarity_loss(
+                    new_vecs, past_vecs, il_cfg.classifier_loss_delta
+                )
+
+    if s.use_mas and mas_importance is not None:
+        result["mas_loss"] = mas_penalty(
+            variables["params"], mas_prev_params, mas_importance, il_cfg.mas.ratio
+        )
+
+    total = sum(result.values())
+    metrics = dict(result)
+    metrics["total_loss"] = total
+    return total, metrics

@@ -1,0 +1,91 @@
+"""Memory-Aware Synapses importance estimation.
+
+Re-implements /root/reference/IL_method/mas.py: importance Omega = mean over
+the dataset of |d ||output||^2 / d theta|, where the output norm is
+  sum(cls_prob^2) / (B * C)  +  mean_b( mean |reg[positives_b]| )
+(mas.py:35-67), excluding BatchNorm params and the classification output
+conv (mas.py:91-124). The penalty itself lives in il/losses.py
+(:func:`mas_penalty`).
+
+The reference runs a per-image Python loop with exception swallowing; here
+one jitted grad pass per batch accumulates |grad| on device.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.boxes import pairwise_iou
+
+
+def _excluded(path) -> bool:
+    keys = [str(getattr(p, "key", "")) for p in path]
+    if any(k.startswith("bn") or k.endswith("_bn") or k == "bn" for k in keys):
+        return True
+    for i in range(len(keys) - 1):
+        if keys[i] == "classification_head" and keys[i + 1] == "output":
+            return True
+    return False
+
+
+def importance_mask(params) -> Any:
+    """1.0 for included leaves, 0.0 for excluded (bn / cls output)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: jnp.zeros_like(x) if _excluded(path) else jnp.ones_like(x),
+        params,
+    )
+
+
+def make_importance_step(model, anchors):
+    """Returns jitted fn(variables, images, boxes, labels) -> |grad| tree."""
+
+    def output_norm(params, batch_stats, images, boxes, labels):
+        variables = {"params": params, "batch_stats": batch_stats}
+        cls, reg = model.apply(variables, images, enable_act=True)
+        cls = cls.astype(jnp.float32)
+        reg = reg.astype(jnp.float32)
+        B, _, C = cls.shape
+
+        def per_image(reg_i, boxes_i, labels_i):
+            valid = labels_i >= 0
+            iou = pairwise_iou(anchors, boxes_i)
+            iou = jnp.where(valid[None, :], iou, -1.0)
+            pos = jnp.max(iou, axis=1) >= 0.5
+            n = jnp.sum(pos.astype(jnp.float32))
+            mean_abs = jnp.sum(jnp.where(pos[:, None], jnp.abs(reg_i), 0.0)) / jnp.maximum(
+                n * 4.0, 1.0
+            )
+            return jnp.where(n > 0, mean_abs, 0.0)
+
+        reg_norm = jnp.mean(jax.vmap(per_image)(reg, boxes, labels))
+        cls_norm = jnp.sum(cls * cls) / (B * C)
+        return cls_norm + reg_norm
+
+    @jax.jit
+    def step(variables, images, boxes, labels):
+        g = jax.grad(output_norm)(
+            variables["params"], variables["batch_stats"], images, boxes, labels
+        )
+        return jax.tree.map(jnp.abs, g)
+
+    return step
+
+
+def compute_importance(model, variables, anchors, loader) -> Any:
+    """Full-dataset pass (mas.py:91-130): mean |grad| per param, zeroed on
+    excluded leaves. Returns a tree like params."""
+    step = make_importance_step(model, jnp.asarray(anchors))
+    acc = jax.tree.map(jnp.zeros_like, variables["params"])
+    n = 0
+    for batch in loader:
+        g = step(variables, jnp.asarray(batch.images), jnp.asarray(batch.boxes),
+                 jnp.asarray(batch.labels))
+        acc = jax.tree.map(jnp.add, acc, g)
+        n += 1
+    if n:
+        acc = jax.tree.map(lambda a: a / n, acc)
+    mask = importance_mask(variables["params"])
+    return jax.tree.map(jnp.multiply, acc, mask)

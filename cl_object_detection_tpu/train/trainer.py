@@ -1,0 +1,617 @@
+"""The IL trainer state machine.
+
+Re-implements the reference ``IL_Trainer``
+(/root/reference/train/il_trainer.py:45-380) around jitted train steps:
+
+  * owns model/params/optimizer/datasets + every CL tool;
+  * ordered tool init when entering an incremental state (il_trainer.py:79-89):
+    prototyper -> replay -> bic -> replay loader -> agem -> prev(teacher)
+    model -> mas -> pseudo-labels;
+  * ``next_state`` sequence (il_trainer.py:316-335): MAS importance ->
+    dataset class switch -> classifier expansion (+similarity warm-start)
+    -> fresh optimizer -> replay/bic/agem re-init -> teacher update;
+  * warm-up staged freezing (il_trainer.py:337-349) as gradient masks;
+  * checkpoints via Orbax (utils/checkpoint.py) with JSON/npz sidecars
+    replacing the reference's pickles.
+
+Compiled-variant management: a train step is cached per
+(is_replay, warm_kind) — each is one fused XLA program; changing state
+recompiles (few states, by design — SURVEY.md §7 hard-part 2).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TrainConfig
+from ..data.coco import CocoJson
+from ..data.dataset import BicDataset, ILDataset, ReplayDataset
+from ..data.loader import BatchLoader
+from ..il.agem import AGem
+from ..il.bic import BicTrainer, carve_bic_val_set
+from ..il.herding import HerdSampler
+from ..il.losses import LossStatics
+from ..il.mas import compute_importance
+from ..il.prototype import (
+    compute_prototype_features,
+    prototype_herd_scores,
+    sample_by_scores,
+)
+from ..il.pseudo_label import generate_pseudo_labels
+from ..il.weight_init import compute_similarity
+from ..models import create_retinanet, expand_classifier
+from ..models.expand import classifier_class_vectors
+from ..ops.anchors import anchors_for_shape
+from ..states import ILStates
+from ..utils.checkpoint import CheckpointManager
+from .optim import lr_at_epoch, make_optimizer, set_beta1, set_learning_rate
+from .state import TrainState
+from .step import StepStatics, make_train_step
+
+WARM_WHITE_LIST = {
+    # reference WARM_UP_WHITE_LIST (params.py:11-14): which prefixes TRAIN
+    "output": (("classification_head", "output"),),
+    "fpn": (("classification_head",), ("regression_head",)),
+    "resnet": (("fpn",), ("classification_head",), ("regression_head",)),
+}
+
+
+def trainable_mask(params, warm_kind: Optional[str]):
+    """1.0 where trainable. None (no mask) outside warm stages."""
+    if warm_kind is None:
+        return None
+    allow = WARM_WHITE_LIST[warm_kind]
+
+    def leaf(path, x):
+        keys = tuple(str(getattr(p, "key", "")) for p in path)
+        for prefix in allow:
+            if keys[: len(prefix)] == prefix:
+                return jnp.ones_like(x)
+        return jnp.zeros_like(x)
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
+
+
+class ILTrainer:
+    def __init__(self, cfg: TrainConfig, train_json: str, image_dir: str,
+                 workdir: str = "."):
+        self.cfg = cfg
+        self.workdir = workdir
+        self.coco = CocoJson(train_json)
+        self.image_dir = image_dir
+        self.states = ILStates(
+            list(self.coco.classes.values()),
+            self.coco.classes_inverse,
+            list(cfg.il.scenario),
+            shuffle_class=cfg.il.shuffle_class,
+            shuffle_seed=cfg.il.shuffle_seed,
+        )
+        self.cur_state = cfg.il.start_state
+        self.cur_epoch = 0
+        self.end_epoch = 0
+        self.cur_warm_stage = -1
+        self._warm_kind: Optional[str] = None
+        self._trainable = None
+        self._steps: Dict[Any, Any] = {}
+
+        self.ckpt = CheckpointManager(
+            os.path.join(workdir, cfg.checkpoint_dir), cfg.il.scenario,
+            cfg.keep_every,
+        )
+
+        # datasets ------------------------------------------------------
+        self.dataset_train = ILDataset(
+            self.coco, self.states, image_dir, split="train",
+            start_state=self.cur_state, use_data_ratio=cfg.data.use_data_ratio,
+        )
+        self.dataset_replay: Optional[ReplayDataset] = None
+        self.replay_loader: Optional[BatchLoader] = None
+
+        # model ---------------------------------------------------------
+        self.num_classes = self.states[self.cur_state].num_knowing_class
+        self.model = create_retinanet(cfg.model, self.num_classes)
+        rng = jax.random.PRNGKey(cfg.seed)
+        h, w = cfg.data.height, cfg.data.width
+        variables = self.model.init(rng, jnp.zeros((1, min(h, 256), min(w, 256), 3)))
+        if cfg.model.pretrained:
+            from ..models.convert import load_pretrained_backbone
+
+            variables = load_pretrained_backbone(variables, cfg.model.pretrained)
+        self._new_train_state(variables["params"], variables["batch_stats"])
+
+        self.anchors_land = jnp.asarray(anchors_for_shape(h, w))
+        self.anchors_port = jnp.asarray(anchors_for_shape(w, h))
+
+        # CL tools ------------------------------------------------------
+        self.teacher_model = None
+        self.teacher_variables = None
+        self.mas_importance = None
+        self.mas_prev_params = None
+        self.agem: Optional[AGem] = None
+        self.bic: Optional[BicTrainer] = None
+        self.herd_sampler: Optional[HerdSampler] = None
+        self.prototype_features: Optional[np.ndarray] = None
+
+        if self.cur_state >= 1:
+            # ordered init (il_trainer.py:79-89)
+            self._init_prototyper()
+            self._init_replay_dataset()
+            self._init_bic()
+            self._update_replay_loader()
+            self._init_agem()
+            self._update_prev_model()
+            self._update_mas()
+            self._add_pseudo_labels()
+
+        self.train_loader = self._make_train_loader()
+
+    # ------------------------------------------------------------------
+    # infrastructure
+    # ------------------------------------------------------------------
+    def _new_train_state(self, params, batch_stats):
+        tx = make_optimizer(self.cfg.schedule, params, use_clip=False)
+        self.train_state = TrainState.create(
+            params=params, batch_stats=batch_stats, tx=tx
+        )
+        self._steps.clear()
+
+    def _make_train_loader(self) -> BatchLoader:
+        return BatchLoader(
+            self.dataset_train, self.cfg.data, shuffle=True, augment=True,
+            seed=self.cfg.seed,
+        )
+
+    def anchors_for(self, images: np.ndarray):
+        h, w = images.shape[1:3]
+        if h == self.cfg.data.height:
+            return self.anchors_land
+        return self.anchors_port
+
+    def variables(self):
+        return self.train_state.variables
+
+    # ------------------------------------------------------------------
+    # train-step variants
+    # ------------------------------------------------------------------
+    def _loss_statics(self, is_replay: bool) -> LossStatics:
+        cfg = self.cfg.il
+        st = self.states[self.cur_state]
+        warm_classifier = self._warm_kind == "output"
+        incremental = self.cur_state > 0 and not is_replay and not warm_classifier
+        return LossStatics(
+            num_classes=self.num_classes,
+            num_past_class=st.num_past_class,
+            incremental=incremental,
+            is_replay=is_replay,
+            use_distill=cfg.distill.enabled and incremental,
+            distill_logits=cfg.distill.logits,
+            use_pseudo_progress=cfg.pseudo.enabled and incremental,
+            use_enhance_error=cfg.replay.enhance_error,
+            enhance_error_method=cfg.replay.enhance_error_method,
+            use_enhance_on_new=cfg.enhance_on_new,
+            use_classifier_loss=cfg.classifier_loss and incremental
+            and cfg.distill.enabled,
+            use_mas=cfg.mas.enabled and self.mas_importance is not None
+            and not is_replay,
+            use_prototype=False,   # wired via train step extras when enabled
+            ignore_gd=cfg.ignore_gd,
+        )
+
+    def _step_statics(self) -> StepStatics:
+        warm_classifier = self._warm_kind == "output"
+        st = self.states[self.cur_state]
+        return StepStatics(
+            every_iter=self.cfg.schedule.every_iter,
+            use_clip=not warm_classifier and self.cfg.schedule.grad_clip > 0,
+            grad_clip=self.cfg.schedule.grad_clip,
+            warm_classifier=warm_classifier,
+            num_past_class=st.num_past_class,
+            num_knowing_class=st.num_knowing_class,
+            num_anchors=self.cfg.model.num_anchors,
+            use_agem=self.cfg.il.agem.enabled,
+        )
+
+    def _get_step(self, is_replay: bool, orientation: str):
+        key = (is_replay, self._warm_kind, self.cur_state, orientation)
+        if key not in self._steps:
+            anchors = self.anchors_land if orientation == "land" else self.anchors_port
+            self._steps[key] = make_train_step(
+                self.model,
+                self.teacher_model,
+                anchors,
+                self.cfg.il,
+                self.cfg.focal,
+                self._loss_statics(is_replay),
+                self._step_statics(),
+                donate=False,
+            )
+        return self._steps[key]
+
+    # ------------------------------------------------------------------
+    # warm-up (il_trainer.py:337-349, params.py:180-209)
+    # ------------------------------------------------------------------
+    def warm_up(self, epoch: int) -> None:
+        cfg = self.cfg.warmup
+        if cfg.warm_stage == 0:
+            self.cur_warm_stage = -1
+            self._warm_kind = None
+            return
+        stops = []
+        acc = 1
+        for e in cfg.warm_epoch[: cfg.warm_stage]:
+            acc += e
+            stops.append(acc)
+        stage = -1
+        for idx, stop in enumerate(stops):
+            if epoch < stop:
+                stage = idx
+                break
+        old = self._warm_kind
+        self.cur_warm_stage = stage
+        self._warm_kind = cfg.warm_layers[stage] if stage != -1 else None
+        if old != self._warm_kind:
+            self._steps.clear()
+        self._trainable = trainable_mask(self.train_state.params, self._warm_kind)
+
+    # ------------------------------------------------------------------
+    # one training batch
+    # ------------------------------------------------------------------
+    def run_batch(self, batch, is_replay: bool = False) -> Dict[str, float]:
+        orientation = (
+            "land" if batch.images.shape[1] == self.cfg.data.height else "port"
+        )
+        step = self._get_step(is_replay, orientation)
+        kwargs = {}
+        statics = self._loss_statics(is_replay)
+        if statics.use_distill:
+            kwargs["teacher_variables"] = self.teacher_variables
+        if statics.use_pseudo_progress:
+            kwargs["pseudo_progress"] = jnp.asarray(
+                self.cur_epoch / max(self.end_epoch, 1), jnp.float32
+            )
+        if statics.use_mas:
+            kwargs["mas_prev_params"] = self.mas_prev_params
+            kwargs["mas_importance"] = self.mas_importance
+        if self.cfg.il.agem.enabled and self.agem is not None and not is_replay:
+            if self.agem.replay_grad is None:
+                self.agem.compute_replay_grad(self.variables())
+            kwargs["replay_grad"] = self.agem.replay_grad
+        if self._trainable is not None:
+            kwargs["trainable_mask"] = self._trainable
+
+        self.train_state, metrics = step(
+            self.train_state,
+            jnp.asarray(batch.images),
+            jnp.asarray(batch.boxes),
+            jnp.asarray(batch.labels),
+            **kwargs,
+        )
+        return {k: float(v) for k, v in metrics.items()}
+
+    def set_replay_beta(self, is_replay: bool) -> None:
+        """change_beta (train.py:133-150)."""
+        sched = self.cfg.schedule
+        if is_replay:
+            self.train_state = self.train_state.replace(
+                opt_state=set_beta1(
+                    self.train_state.opt_state,
+                    self.cfg.il.replay.beta_on_replay,
+                    self.cfg.il.replay.beta_on_where,
+                )
+            )
+        else:
+            self.train_state = self.train_state.replace(
+                opt_state=set_beta1(self.train_state.opt_state, sched.beta1, "all")
+            )
+
+    def step_scheduler(self, epoch: int) -> None:
+        lr = lr_at_epoch(self.cfg.schedule, epoch + 1)
+        self.train_state = self.train_state.replace(
+            opt_state=set_learning_rate(self.train_state.opt_state, lr)
+        )
+
+    # ------------------------------------------------------------------
+    # CL tool initialization (ordered; il_trainer.py:79-89)
+    # ------------------------------------------------------------------
+    def _prev_state_dataset(self, state: int) -> ILDataset:
+        return ILDataset(self.coco, self.states, self.image_dir, split="train",
+                         start_state=state)
+
+    def _future_img_ids(self) -> List[int]:
+        future: List[int] = []
+        for i in range(self.cur_state, len(self.states)):
+            future.extend(self.states[i].new_ids)
+        return self.coco.get_imgs_by_cats(future)
+
+    def _init_prototyper(self) -> None:
+        cfg = self.cfg.il
+        if not (cfg.prototype.loss or cfg.replay.sample_method == "prototype_herd"):
+            return
+        prev = self.cur_state - 1
+        num_classes = self.states[prev].num_knowing_class
+        prev_ds = self._prev_state_dataset(prev)
+        loader = BatchLoader(prev_ds, self.cfg.data, shuffle=False, augment=False)
+        cached = self.ckpt.load_array_sidecar(prev, "prototype_features")
+        if cached is not None:
+            self.prototype_features = np.asarray(list(cached.values())[0])
+        else:
+            self.prototype_features = compute_prototype_features(
+                self.model, self.variables(), self.anchors_land, loader,
+                num_classes,
+            )
+            self.ckpt.save_array_sidecar(
+                prev, "prototype_features", [self.prototype_features]
+            )
+
+    def _init_replay_dataset(self) -> None:
+        cfg = self.cfg.il.replay
+        if cfg.sample_num <= 0:
+            return
+        self.dataset_replay = ReplayDataset(
+            self.coco, self.states, self.image_dir, per_num=cfg.sample_num,
+            seed=self.cfg.seed,
+        )
+        prev = self.cur_state - 1
+        if cfg.sample_method == "herd":
+            if self.herd_sampler is None:
+                self.herd_sampler = HerdSampler(self.model, cfg.herd_ratio_threshold)
+            prev_ds = self._prev_state_dataset(prev)
+            self.herd_sampler.sample(
+                self.variables(), prev_ds, self.cfg.data, cfg.sample_num,
+                future_img_ids=self._future_img_ids(),
+            )
+            self.dataset_replay.reset_by_img_ids(
+                cfg.sample_num, self.herd_sampler.examplar_list
+            )
+        elif cfg.sample_method == "prototype_herd":
+            assert self.prototype_features is not None
+            prev_ds = self._prev_state_dataset(prev)
+            scores = prototype_herd_scores(
+                self.model, self.variables(), self.anchors_land, prev_ds,
+                self.cfg.data, self.prototype_features,
+            )
+            future = set(self._future_img_ids())
+            scores = {
+                c: {i: s for i, s in d.items() if i not in future}
+                for c, d in scores.items()
+            }
+            picked = sample_by_scores(scores, cfg.sample_num)
+            ids = [i for lst in picked.values() for i in lst]
+            self.dataset_replay.reset_by_img_ids(cfg.sample_num, ids)
+        else:  # random
+            self.dataset_replay.reset_by_state(self.cur_state)
+
+        # exemplar record (il_trainer.py:237-241)
+        self.ckpt.save_sidecar(
+            self.cur_state, "examplar", list(self.dataset_replay.image_ids)
+        )
+
+    def _update_replay_loader(self) -> None:
+        if self.dataset_replay is None:
+            return
+        self.replay_loader = BatchLoader(
+            self.dataset_replay, self.cfg.data,
+            batch_size=self.cfg.il.replay.sample_batch_size,
+            shuffle=True, augment=True, seed=self.cfg.seed, is_replay=True,
+        )
+
+    def _init_bic(self) -> None:
+        cfg = self.cfg.il
+        if not cfg.bic.enabled:
+            return
+        if self.dataset_replay is None:
+            raise ValueError("BiC requires replay (init_replay_dataset first)")
+        st = self.states[self.cur_state]
+        bic_ids, seen_lists, train_ids, replay_ids = carve_bic_val_set(
+            self.dataset_train.image_ids,
+            self.dataset_replay.image_ids,
+            self.dataset_replay.seen_class_ids,
+            self.dataset_train.seen_class_ids,
+            st.new_ids,
+            self.coco,
+            cfg.replay.sample_num,
+            cfg.bic.ratio,
+        )
+        self.dataset_train.image_ids = train_ids
+        self.dataset_replay.image_ids = replay_ids
+        bic_ds = BicDataset(self.coco, self.states, self.image_dir,
+                            bic_ids, seen_lists)
+        bic_loader = BatchLoader(bic_ds, self.cfg.data, shuffle=True,
+                                 augment=True, seed=self.cfg.seed)
+        counts = [s.num_new_class for s in self.states.states]
+        self.bic = BicTrainer(
+            self.model, self.anchors_land, cfg, self.cfg.focal, cfg.bic,
+            counts, self.cur_state, st.num_past_class, bic_loader,
+        )
+
+    def _init_agem(self) -> None:
+        if not self.cfg.il.agem.enabled:
+            self.agem = None
+            return
+        if self.replay_loader is None:
+            raise ValueError("A-GEM requires the replay dataset")
+        st = self.states[self.cur_state]
+        statics = LossStatics(
+            num_classes=self.num_classes, num_past_class=st.num_past_class,
+            incremental=False, is_replay=True,
+        )
+        self.agem = AGem(
+            self.model, self.anchors_land, self.cfg.il, self.cfg.focal,
+            statics, self.replay_loader,
+        )
+
+    def _update_prev_model(self) -> None:
+        cfg = self.cfg.il
+        if self.cur_state == 0:
+            raise ValueError("initial state has no previous state")
+        if not cfg.distill.enabled and not cfg.mas.enabled:
+            return
+        prev = self.cur_state - 1
+        prev_classes = self.states[prev].num_knowing_class
+        self.teacher_model = create_retinanet(self.cfg.model, prev_classes)
+        tree, _ = self.ckpt.restore(prev, -1)
+        self.teacher_variables = {
+            "params": tree["params"],
+            "batch_stats": tree["batch_stats"],
+        }
+        self.mas_prev_params = tree["params"]
+        self._steps.clear()
+
+    def _update_mas(self) -> None:
+        if not self.cfg.il.mas.enabled:
+            return
+        prev = self.cur_state - 1
+        cached = self.ckpt.load_array_sidecar(
+            prev, "mas_importance", like=None
+        )
+        if cached is not None:
+            # restore into the CURRENT params structure where shapes match
+            flat, treedef = jax.tree_util.tree_flatten_with_path(
+                self.train_state.params
+            )
+            leaves = []
+            for k, v in flat:
+                key = jax.tree_util.keystr(k)
+                arr = cached.get(key)
+                leaves.append(
+                    jnp.asarray(arr) if arr is not None and arr.shape == v.shape
+                    else jnp.zeros_like(v)
+                )
+            self.mas_importance = jax.tree_util.tree_unflatten(treedef, leaves)
+        else:
+            loader = self._make_train_loader()
+            self.mas_importance = compute_importance(
+                self.model, self.variables(), self.anchors_land, loader
+            )
+            self.ckpt.save_array_sidecar(prev, "mas_importance", self.mas_importance)
+
+    def _add_pseudo_labels(self) -> None:
+        cfg = self.cfg.il
+        if not cfg.pseudo.enabled:
+            return
+        if self.teacher_model is None:
+            self._update_prev_model()
+        pseudo = generate_pseudo_labels(
+            self.teacher_model, self.teacher_variables, self.dataset_train,
+            self.cfg.data, cfg.pseudo, self.states.inverse_label_map(),
+        )
+        self.dataset_train.pseudo_labels = pseudo
+        self.train_loader = self._make_train_loader()
+
+    # ------------------------------------------------------------------
+    # state transition (il_trainer.py:316-335)
+    # ------------------------------------------------------------------
+    def next_state(self) -> None:
+        cfg = self.cfg.il
+        prev_params = self.train_state.params
+
+        # 1. MAS importance on the OLD state's data with the OLD model
+        self.cur_state += 1
+        if cfg.mas.enabled:
+            self.cur_state -= 1
+            self._update_mas_for_next()
+            self.cur_state += 1
+
+        # 2. dataset moves to the new state's classes
+        self.dataset_train.next_state()
+
+        # 3. prototyper for the new state
+        if cfg.replay.sample_num != 0:
+            self._init_prototyper()
+
+        # 4. classifier expansion + similarity warm-start
+        st = self.states[self.cur_state]
+        method = cfg.init_method
+        similarity = None
+        if method in ("mean", "large", "onlyNegative"):
+            cached = self.ckpt.load_array_sidecar(self.cur_state - 1, "similarity")
+            if cached is not None:
+                similarity = np.asarray(list(cached.values())[0])
+            else:
+                loader = self._make_train_loader()
+                similarity = compute_similarity(
+                    self.model, self.variables(), self.anchors_land, loader,
+                    num_new=st.num_new_class,
+                    num_old=st.num_past_class,
+                )
+                self.ckpt.save_array_sidecar(
+                    self.cur_state - 1, "similarity", [similarity]
+                )
+        new_params = expand_classifier(
+            jax.tree.map(np.asarray, prev_params),
+            st.num_new_class,
+            num_anchors=self.cfg.model.num_anchors,
+            prior=self.cfg.model.prior,
+            similarity=similarity,
+            method=method,
+        )
+        self.num_classes = st.num_knowing_class
+        self.model = create_retinanet(self.cfg.model, self.num_classes)
+
+        # 5. fresh optimizer (il_trainer.py:310-314)
+        self._new_train_state(new_params, self.train_state.batch_stats)
+
+        # 6. replay / bic / agem re-init
+        if self.dataset_replay is not None or cfg.replay.sample_num > 0:
+            self._init_replay_dataset()
+            if self.cur_state == 1:
+                self._init_bic()
+                self._init_agem()
+            self._update_replay_loader()
+            if self.bic is not None and self.cur_state > 1:
+                self.bic.next_state()
+
+        self.train_loader = self._make_train_loader()
+
+        # 7. teacher = previous state's latest checkpoint
+        self._update_prev_model()
+        if cfg.mas.enabled:
+            self.mas_prev_params = self.teacher_variables["params"] \
+                if self.teacher_variables else prev_params
+
+        # 8. pseudo-labels for the new state's images
+        self._add_pseudo_labels()
+
+    def _update_mas_for_next(self) -> None:
+        loader = self._make_train_loader()
+        self.mas_importance = compute_importance(
+            self.model, self.variables(), self.anchors_land, loader
+        )
+        self.ckpt.save_array_sidecar(self.cur_state, "mas_importance",
+                                     self.mas_importance)
+
+    # ------------------------------------------------------------------
+    def save(self, epoch: int, epoch_loss: Optional[List[float]] = None) -> None:
+        il_meta = {
+            "state": self.cur_state,
+            "epoch": epoch,
+            "num_classes": self.num_classes,
+            "knowing_class_ids": self.states[self.cur_state].knowing_ids,
+            "exemplar_ids": list(self.dataset_replay.image_ids)
+            if self.dataset_replay else [],
+            "config": self.cfg.to_json(),
+        }
+        if self.bic is not None:
+            il_meta["bic"] = {
+                "alphas": np.asarray(self.bic.params.alphas).tolist(),
+                "betas": np.asarray(self.bic.params.betas).tolist(),
+            }
+        self.ckpt.save(self.cur_state, epoch, self.train_state, il_meta)
+
+    def resume(self, state: int, epoch: int = -1) -> int:
+        tree, il_meta = self.ckpt.restore(state, epoch)
+        self.train_state = self.train_state.replace(
+            params=jax.tree.map(jnp.asarray, tree["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, tree["batch_stats"]),
+            opt_state=jax.tree.map(
+                lambda a, b: jnp.asarray(b) if hasattr(b, "shape") else b,
+                self.train_state.opt_state, tree["opt_state"],
+            ) if tree.get("opt_state") is not None else self.train_state.opt_state,
+        )
+        if il_meta and "bic" in il_meta and self.bic is not None:
+            self.bic.params.load(il_meta["bic"])
+        return il_meta["epoch"] if il_meta else 0

@@ -1,0 +1,161 @@
+"""Orbax checkpointing with the reference's retention + resume semantics.
+
+Replaces torch.save dicts (/root/reference/preprocessing/params.py:236-322):
+  * tree saved per (state, epoch):
+      {params, batch_stats, opt_state-by-tree, il_meta}
+  * layout: <ckpt_dir>/<scenario>/state<k>/epoch<e>/ (Orbax dirs instead of
+    ``<dataset>_checkpoint_<e>.pt`` files);
+  * ``latest_epoch`` finds the newest epoch (the reference's epoch=-1
+    auto-locate, params.py:245-248);
+  * ``auto_delete`` keeps epoch%keep_every==0 plus the latest
+    (params.py:211-222);
+  * IL side-metadata (exemplar ids, class lists, state index) rides along
+    as a JSON-able dict instead of loose pickles.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+except Exception:  # pragma: no cover
+    ocp = None
+
+
+def scenario_tag(scenario) -> str:
+    return "_".join(str(s) for s in scenario)
+
+
+class CheckpointManager:
+    def __init__(self, root: str, scenario, keep_every: int = 5):
+        self.root = os.path.abspath(root)
+        self.scenario_dir = os.path.join(self.root, scenario_tag(scenario))
+        self.keep_every = keep_every
+        os.makedirs(self.scenario_dir, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    def state_dir(self, state: int) -> str:
+        d = os.path.join(self.scenario_dir, f"state{state}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def epoch_dir(self, state: int, epoch: int) -> str:
+        return os.path.join(self.state_dir(state), f"epoch{epoch}")
+
+    def epochs(self, state: int) -> List[int]:
+        d = self.state_dir(state)
+        out = []
+        for name in os.listdir(d):
+            m = re.fullmatch(r"epoch(\d+)", name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest_epoch(self, state: int) -> Optional[int]:
+        eps = self.epochs(state)
+        return eps[-1] if eps else None
+
+    # ------------------------------------------------------------------
+    def save(
+        self,
+        state: int,
+        epoch: int,
+        train_state,
+        il_meta: Optional[Dict[str, Any]] = None,
+    ) -> str:
+        path = self.epoch_dir(state, epoch)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ckptr = ocp.PyTreeCheckpointer()
+        tree = {
+            "params": train_state.params,
+            "batch_stats": train_state.batch_stats,
+            "opt_state": train_state.opt_state,
+            "step": train_state.step,
+        }
+        ckptr.save(path, jax.tree.map(np.asarray, tree))
+        if il_meta is not None:
+            with open(os.path.join(path, "il_meta.json"), "w") as f:
+                json.dump(il_meta, f, indent=2, default=_jsonable)
+        return path
+
+    def restore(self, state: int, epoch: int = -1, target=None):
+        """epoch=-1 locates the newest (reference params.py:245-248).
+        Returns (tree, il_meta)."""
+        if epoch == -1:
+            epoch = self.latest_epoch(state)
+            if epoch is None:
+                raise FileNotFoundError(f"no checkpoints for state {state}")
+        path = self.epoch_dir(state, epoch)
+        ckptr = ocp.PyTreeCheckpointer()
+        if target is not None:
+            tree = ckptr.restore(path, item=target)
+        else:
+            tree = ckptr.restore(path)
+        meta_path = os.path.join(path, "il_meta.json")
+        il_meta = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                il_meta = json.load(f)
+        return tree, il_meta
+
+    # ------------------------------------------------------------------
+    def auto_delete(self, state: int, current_epoch: int) -> None:
+        """Keep epoch%keep_every==0 and the current epoch (params.py:211-222)."""
+        for e in self.epochs(state):
+            if e == current_epoch or e % self.keep_every == 0:
+                continue
+            if e < current_epoch:
+                shutil.rmtree(self.epoch_dir(state, e), ignore_errors=True)
+
+    def save_sidecar(self, state: int, name: str, obj: Any) -> str:
+        """JSON sidecar per state dir (replaces the reference's pickles:
+        similarity.pickle, mas_importance.pickle, persuado_label pickles...)."""
+        path = os.path.join(self.state_dir(state), name + ".json")
+        with open(path, "w") as f:
+            json.dump(obj, f, default=_jsonable)
+        return path
+
+    def load_sidecar(self, state: int, name: str) -> Optional[Any]:
+        path = os.path.join(self.state_dir(state), name + ".json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def save_array_sidecar(self, state: int, name: str, tree) -> str:
+        """npz sidecar for array-valued artifacts (MAS importance,
+        prototype features)."""
+        path = os.path.join(self.state_dir(state), name + ".npz")
+        flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+        arrays = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
+        np.savez(path, **arrays)
+        return path
+
+    def load_array_sidecar(self, state: int, name: str, like=None):
+        path = os.path.join(self.state_dir(state), name + ".npz")
+        if not os.path.exists(path):
+            return None
+        data = np.load(path)
+        if like is None:
+            return dict(data)
+        flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+        leaves = [data[jax.tree_util.keystr(k)] for k, _ in flat]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _jsonable(o):
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    raise TypeError(f"not jsonable: {type(o)}")

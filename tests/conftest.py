@@ -1,14 +1,17 @@
-"""Test harness: force a virtual 8-device CPU platform BEFORE jax import.
+"""Test harness: force a virtual 8-device CPU platform.
 
-Multi-chip sharding tests run against this fake mesh (SURVEY.md §4); real
-TPU execution is exercised by bench.py / the driver instead.
+The container's sitecustomize registers the axon TPU plugin and force-sets
+``jax_platforms="axon,cpu"`` at interpreter start (overriding the
+JAX_PLATFORMS env var), so the override must go through jax.config AFTER
+import — env vars alone silently leave tests running on the real TPU.
+
+Multi-chip sharding tests run against this fake 8-device mesh
+(SURVEY.md §4); real TPU execution is exercised by bench.py / the driver.
 """
-import os
+import jax
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -1,0 +1,93 @@
+"""Dataset family + static-shape batch loader on the synthetic toy dataset."""
+import numpy as np
+import pytest
+
+from cl_object_detection_tpu.config import DataConfig
+from cl_object_detection_tpu.data import BatchLoader, CocoJson, ILDataset, ReplayDataset
+from cl_object_detection_tpu.states import ILStates
+from cl_object_detection_tpu.utils.toydata import DEFAULT_CLASSES, make_toy_dataset
+
+
+@pytest.fixture(scope="module")
+def toy(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("toy"))
+    json_path = make_toy_dataset(root, num_images=12, seed=3)
+    coco = CocoJson(json_path)
+    states = ILStates(
+        list(DEFAULT_CLASSES), coco.classes_inverse, [3, 2], shuffle_class=False
+    )
+    return root, coco, states
+
+
+def test_train_split_sees_only_new_classes(toy):
+    root, coco, states = toy
+    ds = ILDataset(coco, states, root + "/images", split="train", start_state=0)
+    assert set(ds.seen_class_ids) == set(states[0].new_ids)
+    for i in range(len(ds)):
+        _, labels, _ = ds.load_annotations(i)
+        assert all(l < 3 for l in labels)  # first 3 classes only
+
+
+def test_test_split_sees_knowing_classes(toy):
+    root, coco, states = toy
+    ds = ILDataset(coco, states, root + "/images", split="test", start_state=1)
+    assert set(ds.seen_class_ids) == set(states[1].knowing_ids)
+
+
+def test_next_state_switches_class_subset(toy):
+    root, coco, states = toy
+    ds = ILDataset(coco, states, root + "/images", split="train", start_state=0)
+    ids0 = list(ds.image_ids)
+    ds.next_state()
+    assert set(ds.seen_class_ids) == set(states[1].new_ids)
+    assert ds.image_ids  # state-1 images exist in the toy set
+
+
+def test_pseudo_labels_appended(toy):
+    root, coco, states = toy
+    ds0 = ILDataset(coco, states, root + "/images", split="train")
+    img_id = ds0.image_ids[0]
+    pseudo = {img_id: [{"bbox": [1.0, 2.0, 10.0, 12.0], "category_id": states[0].new_ids[0]}]}
+    ds = ILDataset(coco, states, root + "/images", split="train", pseudo_labels=pseudo)
+    boxes, labels, n_pseudo = ds.load_annotations(0)
+    assert n_pseudo == 1
+    np.testing.assert_allclose(boxes[-1], [1, 2, 11, 14])  # xywh -> xyxy
+
+
+def test_loader_static_shapes(toy):
+    root, coco, states = toy
+    cfg = DataConfig(batch_size=3, height=256, width=384, max_boxes=10,
+                     min_side=200, max_side=384)
+    ds = ILDataset(coco, states, root + "/images", split="test", start_state=1)
+    loader = BatchLoader(ds, cfg, shuffle=True, augment=True, prefetch=0)
+    shapes = set()
+    for batch in loader:
+        assert batch.images.shape[0] == 3
+        assert batch.images.shape[3] == 3
+        shapes.add(batch.images.shape[1:3])
+        assert batch.boxes.shape == (3, 10, 4)
+        assert batch.labels.shape == (3, 10)
+        # valid boxes lie inside the canonical frame
+        h, w = batch.images.shape[1:3]
+        for b in range(3):
+            n = batch.num_boxes[b]
+            assert (batch.labels[b, :n] >= 0).all()
+            assert (batch.labels[b, n:] == -1).all()
+            if n:
+                assert batch.boxes[b, :n, 2].max() <= w + 1e-3
+                assert batch.boxes[b, :n, 3].max() <= h + 1e-3
+    # only the two orientation buckets ever appear
+    assert shapes <= {(256, 384), (384, 256)}
+
+
+def test_replay_dataset_sampling(toy):
+    root, coco, states = toy
+    rd = ReplayDataset(coco, states, root + "/images", per_num=1, seed=0)
+    rd.reset_by_state(1)
+    assert rd.cur_state == 1
+    assert len(rd.image_ids) == len(set(rd.image_ids))
+    assert len(rd.image_ids) <= 3  # one per state-0 class, some may be scarce
+    # reset_by_img_ids infers state from count
+    rd2 = ReplayDataset(coco, states, root + "/images", per_num=1, seed=0)
+    rd2.reset_by_img_ids(1, rd.image_ids[:3])
+    assert rd2.cur_state == 1

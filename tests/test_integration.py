@@ -1,0 +1,93 @@
+"""End-to-end smoke: toy dataset -> joint + incremental training -> eval.
+
+Exercises the full slice: config -> datasets -> trainer -> loop ->
+checkpoints -> batched predict -> COCO-protocol eval, plus the
+incremental transition with distillation + replay + classifier expansion.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from cl_object_detection_tpu.config import (
+    DataConfig,
+    ILConfig,
+    DistillConfig,
+    ModelConfig,
+    PredictConfig,
+    ReplayConfig,
+    ScheduleConfig,
+    TrainConfig,
+)
+from cl_object_detection_tpu.data.coco import CocoJson
+from cl_object_detection_tpu.eval.evaluator import Evaluator
+from cl_object_detection_tpu.train.loop import train_process
+from cl_object_detection_tpu.train.trainer import ILTrainer
+from cl_object_detection_tpu.utils.toydata import DEFAULT_CLASSES, make_toy_dataset
+
+
+def tiny_cfg(tmp, scenario, end_state=None, **il_kw):
+    return TrainConfig(
+        model=ModelConfig(depth=18, compute_dtype="float32"),
+        data=DataConfig(
+            batch_size=2, min_side=100, max_side=192, height=128, width=192,
+            max_boxes=8, num_workers=0, prefetch=0,
+        ),
+        schedule=ScheduleConfig(lr=1e-4, every_iter=1, new_state_epoch=1),
+        il=ILConfig(scenario=tuple(scenario), end_state=end_state, **il_kw),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        start_epoch=1,
+        end_epoch=1,
+        record=False,
+    )
+
+
+@pytest.fixture(scope="module")
+def toy(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("toy_e2e"))
+    make_toy_dataset(root, num_images=14, seed=1, split="train")
+    return root
+
+
+def test_joint_training_and_eval(toy, tmp_path):
+    cfg = tiny_cfg(str(tmp_path), ["5"])
+    trainer = ILTrainer(cfg, os.path.join(toy, "train.json"),
+                        os.path.join(toy, "images"), workdir=str(tmp_path))
+    train_process(trainer)
+
+    # checkpoint written
+    assert trainer.ckpt.latest_epoch(0) == 1
+
+    # eval runs end-to-end (AP will be junk after 1 epoch; just plumbing)
+    ev = Evaluator(
+        trainer.coco, trainer.states, os.path.join(toy, "images"),
+        cfg.data, PredictConfig(max_detections=50), state_index=0,
+        eval_on_train=True,
+    )
+    result = ev.run(trainer.model, trainer.variables(),
+                    result_dir=str(tmp_path / "val"))
+    assert set(result.ap50) == set(DEFAULT_CLASSES)
+    assert os.path.exists(tmp_path / "val" / "voc2007_results_epoch0.json")
+
+
+def test_incremental_with_distill_and_replay(toy, tmp_path):
+    cfg = tiny_cfg(
+        str(tmp_path), ["3", "2"], end_state=1,
+        distill=DistillConfig(enabled=True),
+        replay=ReplayConfig(sample_num=1, sample_method="random"),
+    )
+    trainer = ILTrainer(cfg, os.path.join(toy, "train.json"),
+                        os.path.join(toy, "images"), workdir=str(tmp_path))
+    assert trainer.num_classes == 3
+    train_process(trainer)
+
+    # after next_state: expanded classifier, teacher loaded, state-1 ckpt
+    assert trainer.cur_state == 1
+    assert trainer.num_classes == 5
+    assert trainer.teacher_variables is not None
+    k = trainer.train_state.params["classification_head"]["output"]["kernel"]
+    assert k.shape[-1] == 9 * 5
+    assert trainer.ckpt.latest_epoch(1) == 1
+    # replay memory recorded
+    meta = trainer.ckpt.load_sidecar(1, "examplar")
+    assert meta and len(meta) >= 1

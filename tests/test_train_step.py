@@ -1,0 +1,155 @@
+"""Train-step semantics: loss decreases, accumulation, warm masking,
+optimizer hyperparam surgery, A-GEM projection."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cl_object_detection_tpu.config import (
+    FocalConfig,
+    ILConfig,
+    ModelConfig,
+    ScheduleConfig,
+)
+from cl_object_detection_tpu.il.losses import LossStatics
+from cl_object_detection_tpu.models import create_retinanet
+from cl_object_detection_tpu.ops.anchors import anchors_for_shape
+from cl_object_detection_tpu.train.optim import (
+    get_hyperparams,
+    lr_at_epoch,
+    make_optimizer,
+    set_beta1,
+    set_learning_rate,
+)
+from cl_object_detection_tpu.train.state import TrainState
+from cl_object_detection_tpu.train.step import StepStatics, make_train_step
+
+H, W, C = 64, 64, 5
+
+
+def make_batch():
+    rng = np.random.RandomState(0)
+    images = rng.randn(2, H, W, 3).astype(np.float32) * 0.1
+    boxes = np.full((2, 8, 4), -1, np.float32)
+    labels = np.full((2, 8), -1, np.int32)
+    boxes[0, 0] = [8, 8, 40, 40]
+    labels[0, 0] = 1
+    boxes[1, 0] = [16, 16, 56, 60]
+    labels[1, 0] = 3
+    return jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(labels)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig(depth=18, compute_dtype="float32")
+    model = create_retinanet(cfg, num_classes=C)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
+    sched = ScheduleConfig(lr=1e-4, every_iter=1)
+    tx = make_optimizer(sched, variables["params"], use_clip=False)
+    state = TrainState.create(
+        params=variables["params"], batch_stats=variables["batch_stats"], tx=tx
+    )
+    anchors = jnp.asarray(anchors_for_shape(H, W))
+    return model, state, anchors, sched
+
+
+def test_loss_decreases(setup):
+    model, state, anchors, sched = setup
+    statics = LossStatics(num_classes=C)
+    step = make_train_step(
+        model, None, anchors, ILConfig(), FocalConfig(), statics,
+        StepStatics(every_iter=1, use_clip=True, grad_clip=0.1), donate=False,
+    )
+    images, boxes, labels = make_batch()
+    losses = []
+    for _ in range(12):
+        state, metrics = step(state, images, boxes, labels)
+        losses.append(float(metrics["total_loss"]))
+    assert np.mean(losses[-3:]) < losses[0] * 0.7
+    assert all(np.isfinite(losses))
+
+
+def test_grad_accumulation(setup):
+    model, state, anchors, sched = setup
+    statics = LossStatics(num_classes=C)
+    step = make_train_step(
+        model, None, anchors, ILConfig(), FocalConfig(), statics,
+        StepStatics(every_iter=2, use_clip=False), donate=False,
+    )
+    images, boxes, labels = make_batch()
+    p0 = jax.tree.map(np.asarray, state.params)
+    state1, _ = step(state, images, boxes, labels)
+    # first micro-step: params unchanged
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(state1.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    assert int(state1.acc_count) == 1
+    state2, _ = step(state1, images, boxes, labels)
+    # second micro-step applies the update
+    assert int(state2.acc_count) == 0
+    changed = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(state2.params))
+    )
+    assert changed
+
+
+def test_warm_classifier_masking(setup):
+    model, state, anchors, sched = setup
+    statics = LossStatics(num_classes=C)
+    ss = StepStatics(
+        every_iter=1, use_clip=False, warm_classifier=True,
+        num_past_class=3, num_knowing_class=C,
+    )
+    step = make_train_step(
+        model, None, anchors, ILConfig(), FocalConfig(), statics, ss, donate=False
+    )
+    images, boxes, labels = make_batch()
+    k0 = np.asarray(state.params["classification_head"]["output"]["kernel"])
+    state1, _ = step(state, images, boxes, labels)
+    k1 = np.asarray(state1.params["classification_head"]["output"]["kernel"])
+    kh, kw, cin, total = k0.shape
+    old0 = k0.reshape(kh, kw, cin, 9, C)[..., :3]
+    old1 = k1.reshape(kh, kw, cin, 9, C)[..., :3]
+    np.testing.assert_array_equal(old0, old1)  # old classes frozen
+    # adam with zero grad keeps them EXACTLY equal since m=v=0 for those
+
+
+def test_agem_projection_math():
+    from cl_object_detection_tpu.train.step import _agem_project
+
+    g = {"a": jnp.array([1.0, 0.0]), "b": jnp.array([0.0])}
+    r = {"a": jnp.array([-1.0, 0.0]), "b": jnp.array([0.0])}
+    out = _agem_project(g, r)  # dot=-1 <0 -> g - (-1/1)*r = g + r = 0
+    np.testing.assert_allclose(np.asarray(out["a"]), [0.0, 0.0], atol=1e-6)
+
+    r2 = {"a": jnp.array([1.0, 0.0]), "b": jnp.array([0.0])}
+    out2 = _agem_project(g, r2)  # dot=1 >= 0 -> unchanged
+    np.testing.assert_allclose(np.asarray(out2["a"]), [1.0, 0.0], atol=1e-6)
+
+
+def test_hyperparam_surgery(setup):
+    model, state, anchors, sched = setup
+    hp = get_hyperparams(state.opt_state)
+    assert set(hp) == {"backbone", "output"}
+    assert hp["backbone"]["learning_rate"] == pytest.approx(1e-4, rel=1e-5)
+
+    st = set_learning_rate(state.opt_state, 5e-4)
+    hp = get_hyperparams(st)
+    assert hp["backbone"]["learning_rate"] == pytest.approx(5e-4)
+    assert hp["output"]["learning_rate"] == pytest.approx(5e-4)
+
+    st = set_beta1(st, 0.5, where="output")
+    hp = get_hyperparams(st)
+    assert hp["output"]["b1"] == pytest.approx(0.5)
+    assert hp["backbone"]["b1"] == pytest.approx(0.9)
+
+    st = set_beta1(st, 0.9, where="all")
+    hp = get_hyperparams(st)
+    assert hp["output"]["b1"] == pytest.approx(0.9)
+
+
+def test_lr_at_epoch():
+    cfg = ScheduleConfig(lr=1e-5, scheduler_milestone=(40,), scheduler_decay=0.1)
+    assert lr_at_epoch(cfg, 1) == pytest.approx(1e-5)
+    assert lr_at_epoch(cfg, 40) == pytest.approx(1e-5)
+    assert lr_at_epoch(cfg, 41) == pytest.approx(1e-6)
