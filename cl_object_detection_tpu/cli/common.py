@@ -1,0 +1,212 @@
+"""Shared CLI plumbing: reference-compatible flags -> TrainConfig."""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List, Optional, Tuple
+
+from ..config import (
+    AGEMConfig,
+    BiCConfig,
+    DataConfig,
+    DistillConfig,
+    FocalConfig,
+    ILConfig,
+    MASConfig,
+    ModelConfig,
+    PredictConfig,
+    PrototypeConfig,
+    PseudoLabelConfig,
+    ReplayConfig,
+    ScheduleConfig,
+    TrainConfig,
+    WarmupConfig,
+)
+
+
+def str2bool(v: str) -> bool:
+    return str(v).lower() in ("1", "true", "yes", "t")
+
+
+def add_train_flags(parser: argparse.ArgumentParser) -> None:
+    """The reference parser's surface (main.py:85-180), same flag names."""
+    p = parser
+    p.add_argument("--root_dir", default=".")
+    p.add_argument("--dataset", default="voc2007")
+    p.add_argument("--train_json", default=None, help="explicit COCO json (overrides root layout)")
+    p.add_argument("--test_json", default=None)
+    p.add_argument("--image_dir", default=None)
+    p.add_argument("--start_epoch", type=int, default=1)
+    p.add_argument("--end_epoch", type=int, default=None)
+    p.add_argument("--start_state", type=int, default=0)
+    p.add_argument("--end_state", type=int, default=None)
+    p.add_argument("--alpha", type=float, default=0.25)
+    p.add_argument("--gamma", type=float, default=2.0)
+    p.add_argument("--record", type=str2bool, default=True)
+    p.add_argument("--debug", type=str2bool, default=False)
+    p.add_argument("--val", type=str2bool, default=False)
+    # warm up
+    p.add_argument("--warm_stage", type=int, default=0)
+    p.add_argument("--warm_epoch", type=int, nargs="*", default=[10, 10])
+    p.add_argument("--warm_layers", nargs="*", default=["output", "resnet"])
+    # IL
+    p.add_argument("--scenario", nargs="+", default=["20"])
+    p.add_argument("--shuffle_class", type=str2bool, default=False)
+    p.add_argument("--distill", type=str2bool, default=False)
+    p.add_argument("--distill_logits", type=str2bool, default=False)
+    p.add_argument("--sample_num", type=int, default=0)
+    p.add_argument("--sample_method", default="herd")
+    p.add_argument("--sample_batch_size", type=int, default=5)
+    p.add_argument("--mas", type=str2bool, default=False)
+    p.add_argument("--mas_ratio", type=float, default=1.0)
+    p.add_argument("--agem", type=str2bool, default=False)
+    p.add_argument("--agem_refresh_every", type=int, default=1)
+    p.add_argument("--bic", type=str2bool, default=False)
+    p.add_argument("--bic_ratio", type=float, default=0.1)
+    p.add_argument("--enhance_error", type=str2bool, default=False)
+    p.add_argument("--enhance_error_method", default="L2")
+    p.add_argument("--init_method", default="mean")
+    p.add_argument("--decrease_positive", type=float, default=1.0)
+    p.add_argument("--decrease_positive_by_IOU", type=str2bool, default=False)
+    p.add_argument("--ignore_GD", type=str2bool, default=False)
+    p.add_argument("--new_ignore_past_class", type=str2bool, default=False)
+    p.add_argument("--enhance_on_new", type=str2bool, default=False)
+    p.add_argument("--classifier_loss", type=str2bool, default=False)
+    p.add_argument("--no_clip", type=str2bool, default=False)
+    p.add_argument("--beta_on_replay", type=float, default=0.9)
+    p.add_argument("--beta_on_where", default="all")
+    p.add_argument("--persuado_label", type=str2bool, default=False)
+    p.add_argument("--clip_loss", type=str2bool, default=True)
+    p.add_argument("--clip_cls_loss", type=float, default=0.03)
+    p.add_argument("--clip_replay_cls_loss", type=float, default=0.003)
+    p.add_argument("--prototype_loss", type=str2bool, default=False)
+    p.add_argument("--final_correction", type=str2bool, default=False)
+    p.add_argument("--mix_data", type=str2bool, default=False)
+    p.add_argument("--mix_data_start", type=int, default=0)
+    p.add_argument("--every_iter", type=int, default=2)
+    p.add_argument("--output_examplar", type=str2bool, default=True)
+    p.add_argument("--description", default="None")
+    # lr
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--scheduler_milestone", type=int, nargs="+", default=[40])
+    p.add_argument("--scheduler_decay", type=float, default=0.1)
+    # model/data
+    p.add_argument("--depth", type=int, default=50)
+    p.add_argument("--pretrained", default=None, help="converted backbone npz/pt")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--new_state_epoch", type=int, default=60)
+    p.add_argument("--use_data_ratio", type=float, default=1.0)
+    p.add_argument("--ignore_past_class", type=str2bool, default=False)
+    p.add_argument("--image_height", type=int, default=640)
+    p.add_argument("--image_width", type=int, default=1024)
+    p.add_argument("--min_side", type=int, default=None,
+                   help="resize min-side target (default: image_height - 32)")
+    p.add_argument("--max_side", type=int, default=None,
+                   help="resize max-side cap (default: image_width)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--just_train_classifier", type=str2bool, default=False,
+                   help="train only the cls/reg output layers (the reference's"
+                        " just_train_classifier.py experiment)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the TPU plugin is default)")
+
+
+def maybe_force_cpu(a) -> None:
+    if getattr(a, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def args_to_config(a: argparse.Namespace) -> TrainConfig:
+    warmup = WarmupConfig(
+        warm_stage=a.warm_stage,
+        warm_epoch=tuple(a.warm_epoch),
+        warm_layers=tuple(a.warm_layers),
+    )
+    if a.just_train_classifier:
+        # freeze everything except the head outputs for the whole run
+        warmup = WarmupConfig(
+            warm_stage=1, warm_epoch=(10**6,), warm_layers=("output",)
+        )
+    return TrainConfig(
+        model=ModelConfig(depth=a.depth, pretrained=a.pretrained),
+        focal=FocalConfig(alpha=a.alpha, gamma=a.gamma),
+        data=DataConfig(
+            root_dir=a.root_dir,
+            dataset=a.dataset,
+            batch_size=a.batch_size,
+            use_data_ratio=a.use_data_ratio,
+            height=a.image_height,
+            width=a.image_width,
+            # resize targets must fit the canonical frame, else GT clips out
+            min_side=a.min_side or max(a.image_height - 32, 32),
+            max_side=a.max_side or a.image_width,
+        ),
+        schedule=ScheduleConfig(
+            lr=a.lr,
+            scheduler_milestone=tuple(a.scheduler_milestone),
+            scheduler_decay=a.scheduler_decay,
+            grad_clip=0.0 if a.no_clip else 0.1,
+            every_iter=a.every_iter,
+            new_state_epoch=a.new_state_epoch,
+        ),
+        warmup=warmup,
+        il=ILConfig(
+            scenario=tuple(str(s) for s in a.scenario),
+            shuffle_class=a.shuffle_class,
+            shuffle_seed=a.seed,
+            start_state=a.start_state,
+            end_state=a.end_state,
+            distill=DistillConfig(enabled=a.distill, logits=a.distill_logits),
+            replay=ReplayConfig(
+                sample_num=a.sample_num,
+                sample_method=a.sample_method,
+                sample_batch_size=a.sample_batch_size,
+                mix_data=a.mix_data,
+                mix_data_start=a.mix_data_start,
+                beta_on_replay=a.beta_on_replay,
+                beta_on_where=a.beta_on_where,
+                enhance_error=a.enhance_error,
+                enhance_error_method=a.enhance_error_method,
+            ),
+            mas=MASConfig(enabled=a.mas, ratio=a.mas_ratio),
+            agem=AGEMConfig(enabled=a.agem, refresh_every=a.agem_refresh_every),
+            bic=BiCConfig(enabled=a.bic, ratio=a.bic_ratio),
+            pseudo=PseudoLabelConfig(enabled=a.persuado_label),
+            prototype=PrototypeConfig(loss=a.prototype_loss),
+            init_method=a.init_method,
+            classifier_loss=a.classifier_loss,
+            ignore_past_class=a.ignore_past_class,
+            new_ignore_past_class=a.new_ignore_past_class,
+            decrease_positive=a.decrease_positive,
+            decrease_positive_by_iou=a.decrease_positive_by_IOU,
+            enhance_on_new=a.enhance_on_new,
+            ignore_gd=a.ignore_GD,
+            clip_loss=a.clip_loss,
+            clip_cls_loss=a.clip_cls_loss,
+            clip_replay_cls_loss=a.clip_replay_cls_loss,
+            final_correction=a.final_correction,
+        ),
+        seed=a.seed,
+        start_epoch=a.start_epoch,
+        end_epoch=a.end_epoch,
+        checkpoint_dir=os.path.join(a.root_dir, "checkpoint"),
+        record=a.record,
+        description=a.description,
+        debug=a.debug,
+        val_after_train=a.val,
+        output_examplar=a.output_examplar,
+    )
+
+
+def resolve_dataset_paths(a: argparse.Namespace, split: str = "train") -> Tuple[str, str]:
+    """(json_path, image_dir) from explicit flags or the root layout
+    <root_dir>/<dataset>/{train,test}.json + images/ (the reference expects
+    root/{code,checkpoint,dataset,val_result}, README.md:1-28)."""
+    json_path = a.train_json if split == "train" else a.test_json
+    if json_path is None:
+        base = os.path.join(a.root_dir, a.dataset)
+        json_path = os.path.join(base, f"{split}.json")
+    image_dir = a.image_dir or os.path.join(os.path.dirname(json_path), "images")
+    return json_path, image_dir

@@ -1,0 +1,119 @@
+"""Single-image / image-dir detection CLI.
+
+The reference's ``visualize_single_image.py`` equivalent
+(/root/reference/visualize_single_image.py:35-132): load a checkpoint,
+run the full resize->normalize->forward->decode->NMS path per image, draw
+boxes above a score threshold with cv2, save annotated copies. CPU-capable
+(BASELINE.md config 1).
+
+    python -m cl_object_detection_tpu.cli.detect \
+        --image_dir imgs/ --out_dir out/ --scenario 20 --state 0 \
+        --class_list classes.csv [--cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List, Optional
+
+
+def load_class_list(path: Optional[str], coco_json: Optional[str]) -> List[str]:
+    """CSV 'name,id' per line (visualize_single_image.py:21-33) or the
+    category order of a COCO json."""
+    if path:
+        names = {}
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                name, idx = line.split(",")[:2]
+                names[int(idx)] = name
+        return [names[i] for i in sorted(names)]
+    if coco_json:
+        from ..data.coco import CocoJson
+
+        c = CocoJson(coco_json)
+        return [c.classes[i] for i in sorted(c.classes)]
+    raise ValueError("need --class_list or --train_json")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--image_dir", required=True)
+    parser.add_argument("--out_dir", default="detect_out")
+    parser.add_argument("--class_list", default=None)
+    parser.add_argument("--train_json", default=None)
+    parser.add_argument("--root_dir", default=".")
+    parser.add_argument("--scenario", nargs="+", default=["20"])
+    parser.add_argument("--state", type=int, default=0)
+    parser.add_argument("--epoch", type=int, default=-1)
+    parser.add_argument("--depth", type=int, default=50)
+    parser.add_argument("--score_thresh", type=float, default=0.5)
+    parser.add_argument("--cpu", action="store_true")
+    a = parser.parse_args(argv)
+
+    import jax
+
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import cv2
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..config import DataConfig, ModelConfig, PredictConfig
+    from ..data.transforms import normalize_image, resize_and_pad
+    from ..eval.predictor import make_predict_fn
+    from ..models import create_retinanet
+    from ..utils.checkpoint import CheckpointManager
+
+    class_names = load_class_list(a.class_list, a.train_json)
+    ckpt = CheckpointManager(os.path.join(a.root_dir, "checkpoint"), a.scenario)
+    tree, il_meta = ckpt.restore(a.state, a.epoch)
+    num_classes = il_meta["num_classes"] if il_meta else len(class_names)
+    model = create_retinanet(ModelConfig(depth=a.depth), num_classes)
+    variables = {
+        "params": jax.tree.map(jnp.asarray, tree["params"]),
+        "batch_stats": jax.tree.map(jnp.asarray, tree["batch_stats"]),
+    }
+    predict = make_predict_fn(model, PredictConfig())
+    dcfg = DataConfig()
+
+    os.makedirs(a.out_dir, exist_ok=True)
+    names = sorted(
+        f for f in os.listdir(a.image_dir)
+        if f.lower().endswith((".jpg", ".jpeg", ".png"))
+    )
+    for fname in names:
+        path = os.path.join(a.image_dir, fname)
+        bgr = cv2.imread(path)
+        if bgr is None:
+            continue
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        img, _, scale = resize_and_pad(
+            rgb, np.zeros((0, 4), np.float32),
+            dcfg.min_side, dcfg.max_side, dcfg.height, dcfg.width,
+        )
+        img = normalize_image(img)
+        det = predict(variables, jnp.asarray(img[None]))
+        boxes = np.asarray(det.boxes[0]) / scale
+        scores = np.asarray(det.scores[0])
+        labels = np.asarray(det.labels[0])
+        keep = np.asarray(det.valid[0]) & (scores > a.score_thresh)
+
+        for i in np.where(keep)[0]:
+            x1, y1, x2, y2 = boxes[i].astype(int)
+            name = class_names[labels[i]] if labels[i] < len(class_names) else str(labels[i])
+            caption = f"{name} {scores[i]:.2f}"
+            cv2.rectangle(bgr, (x1, y1), (x2, y2), (0, 0, 255), 2)
+            cv2.putText(bgr, caption, (x1, max(y1 - 5, 12)),
+                        cv2.FONT_HERSHEY_PLAIN, 1.2, (0, 255, 0), 2)
+        out_path = os.path.join(a.out_dir, fname)
+        cv2.imwrite(out_path, bgr)
+        n = int(keep.sum())
+        print(f"{fname}: {n} detections -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Training CLI — the reference's ``main.py`` equivalent.
+
+    python -m cl_object_detection_tpu.cli.train \
+        --scenario 15 1 --start_state 0 --distill true --sample_num 10 ...
+
+Flag surface mirrors /root/reference/main.py:85-180; dataset layout is
+<root_dir>/<dataset>/{train,test}.json + images/ (or explicit --train_json
+/ --image_dir). Optionally chains validation (--val true), like
+main.py:231-235.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    from .common import (
+        add_train_flags,
+        args_to_config,
+        maybe_force_cpu,
+        resolve_dataset_paths,
+    )
+
+    add_train_flags(parser)
+    a = parser.parse_args(argv)
+    maybe_force_cpu(a)
+    cfg = args_to_config(a)
+
+    from ..train.loop import train_process
+    from ..train.trainer import ILTrainer
+    from ..utils.recorder import Recorder
+
+    train_json, image_dir = resolve_dataset_paths(a, "train")
+    trainer = ILTrainer(cfg, train_json, image_dir, workdir=a.root_dir)
+
+    # dump config next to checkpoints (replaces params.txt/il_hparams.pickle,
+    # params.py:412-446)
+    cfg_path = os.path.join(trainer.ckpt.state_dir(cfg.il.start_state), "params.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+
+    recorder = Recorder(
+        log_root=os.path.join(a.root_dir, "runs"),
+        scenario_tag="_".join(str(s) for s in cfg.il.scenario),
+        description=cfg.description,
+        enabled=cfg.record,
+    )
+    # resume (main.py:67-71): start_epoch > 1 restores that state's ckpt
+    if a.start_epoch and a.start_epoch > 1:
+        trainer.resume(cfg.il.start_state, a.start_epoch - 1)
+
+    train_process(trainer, recorder)
+    recorder.close()
+
+    if cfg.val_after_train:
+        from .validate import run_validation
+
+        end_state = cfg.il.end_state if cfg.il.end_state is not None else cfg.il.start_state
+        run_validation(
+            a, state=end_state,
+            epochs=[trainer.ckpt.latest_epoch(end_state)],
+        )
+
+
+if __name__ == "__main__":
+    main()

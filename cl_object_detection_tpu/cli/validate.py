@@ -1,0 +1,136 @@
+"""Validation CLI — the reference's ``validation.py`` equivalent.
+
+    python -m cl_object_detection_tpu.cli.validate \
+        --scenario 15 1 --state 1 --epoch 30 60 ...
+
+Runs batched inference + per-class COCO-protocol AP/recall for each
+requested epoch checkpoint, writes result JSONs and the decline-vs-
+upper-bound CSV (/root/reference/validation.py:25-118,
+evaluator.py:84-161). ``--just_val`` re-scores existing result JSONs
+without re-predicting (validation.py:80-85). ``--save_upper_bound`` stores
+this run's result as the forgetting baseline.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import List, Optional
+
+
+def get_parser():
+    parser = argparse.ArgumentParser(description=__doc__)
+    from .common import add_train_flags, str2bool
+
+    add_train_flags(parser)
+    parser.add_argument("--state", type=int, default=0)
+    parser.add_argument("--epoch", type=int, nargs="+", default=[-1])
+    parser.add_argument("--threshold", type=float, default=0.05)
+    parser.add_argument("--eval_on_train", type=str2bool, default=False)
+    parser.add_argument("--just_val", type=str2bool, default=False)
+    parser.add_argument("--ignore_other_img", type=str2bool, default=False)
+    parser.add_argument("--save_upper_bound", type=str2bool, default=False)
+    return parser
+
+
+def run_validation(a, state: Optional[int] = None, epochs: Optional[List[int]] = None):
+    import jax.numpy as jnp
+
+    from ..config import PredictConfig
+    from ..data.coco import CocoJson
+    from ..eval.evaluator import Evaluator
+    from ..eval.report import decline_csv, load_upper_bound, save_upper_bound
+    from ..models import create_retinanet
+    from ..states import ILStates
+    from ..utils.checkpoint import CheckpointManager
+    from .common import args_to_config, resolve_dataset_paths
+
+    cfg = args_to_config(a)
+    state = state if state is not None else getattr(a, "state", 0)
+    epochs = epochs if epochs is not None else getattr(a, "epoch", [-1])
+    threshold = getattr(a, "threshold", 0.05)
+
+    split = "train" if getattr(a, "eval_on_train", False) else "test"
+    json_path, image_dir = resolve_dataset_paths(a, split)
+    if not os.path.exists(json_path) and split == "test":
+        json_path, image_dir = resolve_dataset_paths(a, "train")
+        print(f"warning: no test split found; evaluating on {json_path}")
+
+    coco = CocoJson(json_path)
+    states = ILStates(
+        list(coco.classes.values()), coco.classes_inverse,
+        list(cfg.il.scenario), cfg.il.shuffle_class, cfg.il.shuffle_seed,
+    )
+    ckpt = CheckpointManager(cfg.checkpoint_dir, cfg.il.scenario, cfg.keep_every)
+    num_classes = states[state].num_knowing_class
+    model = create_retinanet(cfg.model, num_classes)
+
+    predict_cfg = PredictConfig(score_thresh=threshold)
+    evaluator = Evaluator(
+        coco, states, image_dir, cfg.data, predict_cfg, state_index=state,
+        eval_on_train=(split == "train"),
+    )
+
+    result_dir = os.path.join(
+        a.root_dir, "val_result",
+        "_".join(str(s) for s in cfg.il.scenario), f"state{state}",
+    )
+    os.makedirs(result_dir, exist_ok=True)
+
+    results = {}
+    for epoch in epochs:
+        if epoch == -1:
+            epoch = ckpt.latest_epoch(state)
+        json_out = os.path.join(result_dir, f"{a.dataset}_results_epoch{epoch}.json")
+        if getattr(a, "just_val", False) and os.path.exists(json_out):
+            with open(json_out) as f:
+                rows = json.load(f)
+        else:
+            tree, _ = ckpt.restore(state, epoch)
+            variables = {
+                "params": jnp_tree(tree["params"]),
+                "batch_stats": jnp_tree(tree["batch_stats"]),
+            }
+            rows = evaluator.predict_dataset(model, variables, progress=True)
+            with open(json_out, "w") as f:
+                json.dump(rows, f)
+        res = evaluator.evaluate(rows, getattr(a, "ignore_other_img", False))
+        results[epoch] = res
+        print(f"epoch {epoch}: mAP50={res.mean_ap50:.4f} AR={res.mean_recall:.4f}")
+        for name in sorted(res.ap50):
+            print(f"  {name:<14} AP={res.ap50[name]:.4f} AR={res.recall[name]:.4f}")
+
+    ub_path = os.path.join(a.root_dir, "val_result", "upper_bound.json")
+    if getattr(a, "save_upper_bound", False) and results:
+        save_upper_bound(ub_path, results[max(results)])
+        print(f"saved upper bound to {ub_path}")
+
+    csv_name = "val_result_" + "_".join(str(e) for e in sorted(results)) + ".csv"
+    decline_csv(
+        results,
+        states[state].knowing_names,
+        states[state].num_past_class,
+        upper_bound=load_upper_bound(ub_path),
+        out_path=os.path.join(result_dir, csv_name),
+    )
+    print(f"wrote {os.path.join(result_dir, csv_name)}")
+    return results
+
+
+def jnp_tree(tree):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(jnp.asarray, tree)
+
+
+def main(argv=None):
+    a = get_parser().parse_args(argv)
+    from .common import maybe_force_cpu
+
+    maybe_force_cpu(a)
+    run_validation(a)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""CSV decline reports + upper-bound bookkeeping.
+
+Re-implements the reference's forgetting report
+(/root/reference/evaluator.py:84-161): per-class AP/recall across epochs
+with decline vs a stored joint-training "upper bound", mean rows, the
+summed old-class decline, and prediction-count ratios. The upper bound is
+JSON (``upper_bound.json``) instead of a pickle:
+  {"<class>": {"ap": x, "recall": y}, "mean": {...}, "pred_ratio": r}
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .coco_eval import EvalResult
+
+
+def save_upper_bound(path: str, result: EvalResult) -> None:
+    """Store a joint-training run's per-class AP/recall as the upper bound."""
+    data = {
+        name: {"ap": result.ap50[name], "recall": result.recall[name]}
+        for name in result.ap50
+    }
+    data["mean"] = {"ap": result.mean_ap50, "recall": result.mean_recall}
+    data["pred_ratio"] = (
+        result.pred_num / result.real_num if result.real_num else 0.0
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(data, f, indent=2)
+
+
+def load_upper_bound(path: str) -> Optional[Dict]:
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def decline_csv(
+    results: Dict[int, EvalResult],        # epoch -> result
+    class_names: Sequence[str],            # knowing order (old first)
+    num_old_classes: int,
+    upper_bound: Optional[Dict] = None,
+    out_path: Optional[str] = None,
+) -> str:
+    """Build the reference-format CSV; returns the text."""
+    epochs = sorted(results)
+    lines: List[str] = []
+    lines.append("Epoch" + "".join(f",{e},{e},{e},{e}" for e in epochs))
+    lines.append("" + ",AP,Recall,AP_decline,Recall_decline" * len(epochs))
+
+    ap_declines: Dict[int, List[float]] = {e: [] for e in epochs}
+    rc_declines: Dict[int, List[float]] = {e: [] for e in epochs}
+
+    for name in class_names:
+        row = name
+        ub_ap = upper_bound.get(name, {}).get("ap", 0.0) if upper_bound else 0.0
+        ub_rc = upper_bound.get(name, {}).get("recall", 0.0) if upper_bound else 0.0
+        for e in epochs:
+            ap = results[e].ap50.get(name, -1.0)
+            rc = results[e].recall.get(name, -1.0)
+            d_ap, d_rc = ub_ap - ap, ub_rc - rc
+            ap_declines[e].append(d_ap)
+            rc_declines[e].append(d_rc)
+            row += f",{ap},{rc},{d_ap * 100:.1f}%,{d_rc * 100:.1f}%"
+        lines.append(row)
+
+    row = "Mean"
+    for e in epochs:
+        m_ap, m_rc = results[e].mean_ap50, results[e].mean_recall
+        ub_m = upper_bound.get("mean", {}) if upper_bound else {}
+        row += (
+            f",{m_ap},{m_rc},"
+            f"{(ub_m.get('ap', 0.0) - m_ap) * 100:.1f}%,"
+            f"{(ub_m.get('recall', 0.0) - m_rc) * 100:.1f}%"
+        )
+    lines.append(row)
+
+    row = "Sum_decline"
+    for e in epochs:
+        row += (
+            f",,,{sum(ap_declines[e][:num_old_classes]) * 100:.1f}%,"
+            f"{sum(rc_declines[e][:num_old_classes]) * 100:.1f}%"
+        )
+    lines.append(row)
+
+    row = "Pred num"
+    for e in epochs:
+        row += f",{results[e].pred_num},,,"
+    lines.append(row)
+    row = "Pred ratio"
+    for e in epochs:
+        ratio = results[e].pred_num / max(results[e].real_num, 1)
+        ub_ratio = upper_bound.get("pred_ratio", 0.0) if upper_bound else 0.0
+        row += f",{ratio:.1f},,{ub_ratio:.1f},"
+    lines.append(row)
+
+    text = "\n".join(lines)
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            f.write(text)
+    return text

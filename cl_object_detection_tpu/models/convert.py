@@ -1,0 +1,133 @@
+"""Pretrained-backbone import.
+
+The reference loads torchvision ImageNet ResNet weights with strict=False
+(/root/reference/retinanet/model.py:636). This environment has no
+torchvision and zero egress, so the converter accepts either:
+
+  * a torch state_dict file (``.pt``/``.pth``) with torchvision ResNet key
+    names (conv1.weight, layer1.0.conv1.weight, ...), or
+  * an ``.npz`` produced by :func:`torch_to_npz` on a machine that has the
+    weights.
+
+Mapping (torchvision -> this repo's flax tree):
+  conv1/bn1                 -> backbone.conv1 / backbone.bn1
+  layer{s}.{i}.conv{k}/bn{k}-> backbone.layer{s}_{i}.conv{k}/bn{k}
+  layer{s}.{i}.downsample.0 -> backbone.layer{s}_{i}.downsample_conv
+  layer{s}.{i}.downsample.1 -> backbone.layer{s}_{i}.downsample_bn
+Conv kernels transpose OIHW -> HWIO. BN: weight->scale, bias->bias,
+running_mean/var -> batch_stats.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def torch_to_npz(state_dict_path: str, out_path: str) -> None:
+    """Offline helper: torch state_dict -> flat npz of numpy arrays."""
+    import torch
+
+    sd = torch.load(state_dict_path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    np.savez(out_path, **{k: v.numpy() for k, v in sd.items()})
+
+
+def _map_key(torch_key: str) -> Tuple[Tuple[str, ...], str, str]:
+    """torch key -> (flax path under backbone, param name, collection)."""
+    parts = torch_key.split(".")
+
+    def bn_entry(prefix, pname):
+        if pname == "weight":
+            return prefix, "scale", "params"
+        if pname == "bias":
+            return prefix, "bias", "params"
+        if pname == "running_mean":
+            return prefix, "mean", "batch_stats"
+        if pname == "running_var":
+            return prefix, "var", "batch_stats"
+        return None
+
+    if parts[0] == "conv1":
+        return ("conv1",), "kernel", "params"
+    if parts[0] == "bn1":
+        e = bn_entry(("bn1", "bn"), parts[1])
+        if e:
+            return e
+    if parts[0].startswith("layer"):
+        stage = parts[0]          # layer1..layer4
+        block = parts[1]
+        name = f"{stage}_{block}"
+        rest = parts[2:]
+        if rest[0].startswith("conv"):
+            return (name, rest[0]), "kernel", "params"
+        if rest[0].startswith("bn"):
+            e = bn_entry((name, rest[0], "bn"), rest[1])
+            if e:
+                return e
+        if rest[0] == "downsample":
+            if rest[1] == "0":
+                return (name, "downsample_conv"), "kernel", "params"
+            e = bn_entry((name, "downsample_bn", "bn"), rest[2])
+            if e:
+                return e
+    raise KeyError(torch_key)
+
+
+def load_pretrained_backbone(variables: Dict, path: str) -> Dict:
+    """Merge converted torchvision weights into the model variables
+    (backbone only, like the reference's strict=False load)."""
+    import copy
+
+    import jax.numpy as jnp
+
+    if path.endswith(".npz"):
+        sd = dict(np.load(path))
+    else:
+        import torch
+
+        raw = torch.load(path, map_location="cpu")
+        if hasattr(raw, "state_dict"):
+            raw = raw.state_dict()
+        sd = {k: v.numpy() for k, v in raw.items()}
+
+    out = copy.deepcopy(
+        {"params": dict(variables["params"]), "batch_stats": dict(variables["batch_stats"])}
+    )
+    loaded, skipped = 0, 0
+    for key, value in sd.items():
+        if key.startswith("fc."):
+            continue
+        if "num_batches_tracked" in key:
+            continue
+        try:
+            path_parts, pname, collection = _map_key(key)
+        except KeyError:
+            skipped += 1
+            continue
+        node = out[collection].setdefault("backbone", {})
+        ok = True
+        trail = [out[collection]["backbone"]]
+        for p in path_parts[:-1]:
+            if p not in trail[-1]:
+                ok = False
+                break
+            trail.append(trail[-1][p])
+        if not ok or path_parts[-1] not in trail[-1]:
+            skipped += 1
+            continue
+        leaf_parent = trail[-1][path_parts[-1]]
+        if pname not in leaf_parent:
+            skipped += 1
+            continue
+        arr = np.asarray(value)
+        if arr.ndim == 4:
+            arr = arr.transpose(2, 3, 1, 0)   # OIHW -> HWIO
+        if leaf_parent[pname].shape != arr.shape:
+            skipped += 1
+            continue
+        leaf_parent[pname] = jnp.asarray(arr, jnp.asarray(leaf_parent[pname]).dtype)
+        loaded += 1
+    print(f"pretrained backbone: loaded {loaded} tensors, skipped {skipped}")
+    return out

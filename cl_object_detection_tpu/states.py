@@ -140,6 +140,11 @@ class ILStates:
         return len(self.states)
 
     def __getitem__(self, key: int) -> StateInfo:
+        if not -len(self.states) <= key < len(self.states):
+            raise IndexError(
+                f"state {key} does not exist: scenario has {len(self.states)} "
+                f"state(s) (0..{len(self.states) - 1})"
+            )
         return self.states[key]
 
     def label_map(self) -> Dict[int, int]:
