@@ -1,6 +1,13 @@
 """Headline benchmark: RetinaNet-ResNet50 inference throughput on TPU,
 full decode + class-aware-NMS path (BASELINE.md target: >= 2000 img/s on
-v5e-8; this measures per-chip and scales by the data-parallel chip count).
+v5e-8 == 250 img/s/chip; this measures one chip).
+
+Measurement notes: through the axon tunnel, ``block_until_ready`` returns
+before device completion, so naive timing reports async fiction. The N
+benchmark iterations are therefore CHAINED inside one jitted fori_loop
+(each iteration's input depends on the previous output) and a single
+scalar is fetched at the end — the host fetch forces completion of the
+whole chain, and one ~30ms tunnel round-trip amortizes over N iterations.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
@@ -8,7 +15,6 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 import numpy as np
@@ -19,31 +25,55 @@ def main():
     import jax.numpy as jnp
 
     from cl_object_detection_tpu.config import ModelConfig, PredictConfig
-    from cl_object_detection_tpu.eval.predictor import make_predict_fn
     from cl_object_detection_tpu.models import create_retinanet
+    from cl_object_detection_tpu.ops.anchors import anchors_for_shape
+    from cl_object_detection_tpu.ops.boxes import clip_boxes, decode_boxes
+    from cl_object_detection_tpu.ops.nms import batched_nms
 
     H, W = 640, 1024          # canonical landscape eval shape
     BATCH = 8
+    ITERS = 20
+    pcfg = PredictConfig()
     model = create_retinanet(ModelConfig(depth=50), num_classes=20)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
-    predict = make_predict_fn(model, PredictConfig())
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
+    anchors = jnp.asarray(anchors_for_shape(H, W))
+    use_pallas = (
+        pcfg.use_pallas_nms and jax.default_backend() not in ("cpu",)
+    )
+
+    def predict_sum(images):
+        logits, regression = model.apply(variables, images, enable_act=False)
+        cls = jax.nn.sigmoid(logits)
+        boxes = clip_boxes(decode_boxes(anchors[None], regression), H, W)
+        det = batched_nms(
+            boxes, cls,
+            score_thresh=pcfg.score_thresh, iou_thresh=pcfg.nms_iou,
+            pre_nms_topk=pcfg.pre_nms_topk,
+            max_detections=pcfg.max_detections, use_pallas=use_pallas,
+        )
+        return jnp.sum(det.scores)
+
+    @jax.jit
+    def chained(images):
+        def body(i, acc):
+            # data dependency defeats reordering/caching; the perturbation
+            # is numerically negligible
+            return acc + predict_sum(images + acc * 1e-12)
+
+        return jax.lax.fori_loop(0, ITERS, body, 0.0)
 
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(BATCH, H, W, 3).astype(np.float32))
 
-    # warmup / compile
-    det = predict(variables, images)
-    jax.block_until_ready(det.scores)
-
-    iters = 20
+    float(chained(images))  # compile + warm
+    reps = 3
     t0 = time.perf_counter()
-    for _ in range(iters):
-        det = predict(variables, images)
-    jax.block_until_ready(det.scores)
-    dt = time.perf_counter() - t0
+    for _ in range(reps):
+        float(chained(images))
+    dt = (time.perf_counter() - t0) / reps
 
-    imgs_per_sec = BATCH * iters / dt
-    baseline = 2000.0 / 8.0   # BASELINE.json: 2000 img/s on 8 chips -> per chip
+    imgs_per_sec = BATCH * ITERS / dt
+    baseline = 2000.0 / 8.0   # BASELINE.json: 2000 img/s on v5e-8 -> per chip
     print(
         json.dumps(
             {

@@ -232,9 +232,10 @@ class PredictConfig:
     """Detection post-processing (reference model.py:494-605)."""
     score_thresh: float = 0.05
     nms_iou: float = 0.5
-    pre_nms_topk: int = 1000           # static candidate capacity
+    pre_nms_topk: int = 1024           # static candidate capacity
+                                       # (multiple of 256 for the Pallas kernel)
     max_detections: int = 300          # static output capacity
-    use_pallas_nms: bool = True
+    use_pallas_nms: bool = True        # fused TPU kernel (auto-off on CPU)
 
 
 # ---------------------------------------------------------------------------

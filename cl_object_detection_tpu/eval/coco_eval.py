@@ -88,11 +88,21 @@ class CocoProtocolEval:
         cat_id: int,
         image_ids: Optional[Sequence[int]] = None,
         max_dets: int = MAX_DETS,
+        use_native: bool = True,
     ):
         """Returns (ap50, ar) for one category — the reference's
-        stats[1]/stats[8] pair (evaluator.py:219-220). -1 when no GT."""
+        stats[1]/stats[8] pair (evaluator.py:219-220). -1 when no GT.
+
+        Routes through the C++ core (native/coco_eval.cpp) when available;
+        the Python path below is the semantic oracle and fallback.
+        """
         image_ids = list(image_ids) if image_ids is not None else self.image_ids
         img_set = set(image_ids)
+
+        if use_native:
+            got = self._evaluate_class_native(results, cat_id, image_ids, max_dets)
+            if got is not None:
+                return got
 
         # group GT and detections per image
         gt_by_img: Dict[int, List[List[float]]] = {i: [] for i in image_ids}
@@ -160,6 +170,36 @@ class CocoProtocolEval:
         # AR: mean over thresholds of final recall
         ar = float(np.mean(rc[:, -1])) if rc.shape[1] else 0.0
         return ap50, ar
+
+    def _evaluate_class_native(self, results, cat_id, image_ids, max_dets):
+        try:
+            from ..native import coco_eval_class_native
+        except Exception:
+            return None
+        idx_of = {im: i for i, im in enumerate(image_ids)}
+        det_img, det_score, det_box = [], [], []
+        for r in results:
+            if r["category_id"] == cat_id and r["image_id"] in idx_of:
+                det_img.append(idx_of[r["image_id"]])
+                det_score.append(r["score"])
+                det_box.append(r["bbox"])
+        gt_img, gt_box = [], []
+        for im in image_ids:
+            for a in self.gt.get_anns_by_img(im):
+                if a["category_id"] == cat_id and not a.get("iscrowd", 0):
+                    gt_img.append(idx_of[im])
+                    gt_box.append(a["bbox"])
+        if not gt_img:
+            return (-1.0, -1.0)
+        return coco_eval_class_native(
+            np.asarray(det_img, np.int32),
+            np.asarray(det_score, np.float32),
+            np.asarray(det_box, np.float32).reshape(-1, 4),
+            np.asarray(gt_img, np.int32),
+            np.asarray(gt_box, np.float32).reshape(-1, 4),
+            n_imgs=len(image_ids),
+            max_dets=max_dets,
+        )
 
     @staticmethod
     def _interp_ap(precision: np.ndarray, recall: np.ndarray) -> float:

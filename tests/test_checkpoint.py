@@ -1,0 +1,55 @@
+"""Orbax checkpoint manager: save/restore roundtrip, retention, sidecars."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cl_object_detection_tpu.config import ModelConfig, ScheduleConfig
+from cl_object_detection_tpu.models import create_retinanet
+from cl_object_detection_tpu.train.optim import make_optimizer
+from cl_object_detection_tpu.train.state import TrainState
+from cl_object_detection_tpu.utils.checkpoint import CheckpointManager
+
+
+@pytest.fixture()
+def state():
+    model = create_retinanet(ModelConfig(depth=18, compute_dtype="float32"), 3)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    tx = make_optimizer(ScheduleConfig(every_iter=1), v["params"])
+    return TrainState.create(params=v["params"], batch_stats=v["batch_stats"], tx=tx)
+
+
+def test_roundtrip(tmp_path, state):
+    mgr = CheckpointManager(str(tmp_path), ("10", "10"))
+    mgr.save(0, 3, state, il_meta={"state": 0, "epoch": 3, "num_classes": 3})
+    tree, meta = mgr.restore(0, 3)
+    assert meta["epoch"] == 3
+    a = jax.tree.leaves(state.params)
+    b = jax.tree.leaves(tree["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_latest_and_retention(tmp_path, state):
+    mgr = CheckpointManager(str(tmp_path), ("20",), keep_every=5)
+    for e in (1, 2, 3, 4, 5, 6, 7):
+        mgr.save(0, e, state)
+    assert mgr.latest_epoch(0) == 7
+    mgr.auto_delete(0, 7)
+    # keeps multiples of 5 and the current epoch
+    assert mgr.epochs(0) == [5, 7]
+    tree, _ = mgr.restore(0, -1)   # -1 -> newest (params.py:245-248)
+    assert tree is not None
+
+
+def test_sidecars(tmp_path, state):
+    mgr = CheckpointManager(str(tmp_path), ("15", "1"))
+    mgr.save_sidecar(1, "examplar", [3, 1, 4, 1, 5])
+    assert mgr.load_sidecar(1, "examplar") == [3, 1, 4, 1, 5]
+    assert mgr.load_sidecar(1, "nothing") is None
+
+    tree = {"a": np.arange(6).reshape(2, 3), "b": {"c": np.ones(4)}}
+    mgr.save_array_sidecar(0, "mas_importance", tree)
+    back = mgr.load_array_sidecar(0, "mas_importance", like=tree)
+    np.testing.assert_array_equal(back["a"], tree["a"])
+    np.testing.assert_array_equal(back["b"]["c"], tree["b"]["c"])
