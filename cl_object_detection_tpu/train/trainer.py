@@ -560,8 +560,9 @@ class ILTrainer:
             self._init_replay_dataset()
             if self.cur_state == 1:
                 self._init_bic()
-                self._init_agem()
             self._update_replay_loader()
+            if self.cur_state == 1:
+                self._init_agem()
             if self.bic is not None and self.cur_state > 1:
                 self.bic.next_state()
 

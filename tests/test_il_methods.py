@@ -1,0 +1,130 @@
+"""Unit tests for the CL method modules (CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cl_object_detection_tpu.il.bic import class_state_index, make_bic_correct
+from cl_object_detection_tpu.il.herding import foreground_ratio
+from cl_object_detection_tpu.il.losses import (
+    classifier_similarity_loss,
+    mas_penalty,
+)
+from cl_object_detection_tpu.il.mas import importance_mask
+from cl_object_detection_tpu.il.agem import bn_mask
+from cl_object_detection_tpu.il.scail import ranked_mean, standardize_new_classifier
+
+
+def test_bic_correction_slices():
+    """State-0 classes pass through; state-k classes get alpha_k-1*x+beta."""
+    counts = [3, 2, 1]  # scenario 3+2+1
+    correct = make_bic_correct(counts, num_knowing=6)
+    logits = jnp.ones((1, 4, 6))
+    alphas = jnp.asarray([2.0, 3.0])
+    betas = jnp.asarray([0.5, -1.0])
+    out = np.asarray(correct(logits, alphas, betas))
+    np.testing.assert_allclose(out[0, 0, :3], 1.0)            # state 0
+    np.testing.assert_allclose(out[0, 0, 3:5], 2.0 * 1 + 0.5) # state 1
+    np.testing.assert_allclose(out[0, 0, 5:], 3.0 * 1 - 1.0)  # state 2
+
+
+def test_class_state_index():
+    np.testing.assert_array_equal(class_state_index([2, 3]), [0, 0, 1, 1, 1])
+
+
+def test_foreground_ratio_inclusion_exclusion():
+    # two overlapping 10x10 boxes of the same class, 5px x-overlap
+    boxes = np.array([[0, 0, 10, 10], [5, 0, 15, 10]], np.float32)
+    labels = np.array([2, 2], np.int32)
+    r = foreground_ratio(boxes, labels, img_area=1000.0)
+    # union-ish = 100 + 100 - 50 = 150
+    assert r[2] == pytest.approx(150 / 1000)
+
+
+def test_mas_penalty_and_mask():
+    params = {"backbone": {"w": jnp.ones((3,))},
+              "bn1": {"bn": {"scale": jnp.ones((3,))}},
+              "classification_head": {"output": {"kernel": jnp.ones((2,))}}}
+    prev = jax.tree.map(lambda x: x * 0.0, params)
+    mask = importance_mask(params)
+    # bn and cls output excluded
+    assert float(mask["bn1"]["bn"]["scale"].sum()) == 0
+    assert float(mask["classification_head"]["output"]["kernel"].sum()) == 0
+    assert float(mask["backbone"]["w"].sum()) == 3
+
+    imp = jax.tree.map(lambda m: m * 2.0, mask)
+    # penalty = ratio * sum(2 * (1-0)^2) over backbone only = 0.5*2*3 = 3
+    loss = mas_penalty(params, prev, imp, ratio=0.5)
+    assert float(loss) == pytest.approx(3.0)
+
+
+def test_mas_penalty_shape_mismatch_contributes_zero():
+    params = {"out": {"kernel": jnp.ones((4,))}}
+    prev = {"out": {"kernel": jnp.ones((2,))}}   # expanded classifier case
+    imp = {"out": {"kernel": jnp.ones((4,))}}
+    assert float(mas_penalty(params, prev, imp, 1.0)) == 0.0
+
+
+def test_bn_mask():
+    params = {"backbone": {"bn1": {"bn": {"scale": jnp.ones(2)}},
+                           "conv1": {"kernel": jnp.ones(2)}}}
+    m = bn_mask(params)
+    assert float(m["backbone"]["bn1"]["bn"]["scale"].sum()) == 0
+    assert float(m["backbone"]["conv1"]["kernel"].sum()) == 2
+
+
+def test_classifier_similarity_loss():
+    past = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+    # new vector parallel to past[0]: |cos|=1 -> loss = 1-delta per pair over delta
+    new = jnp.asarray([[2.0, 0.0]])
+    loss = classifier_similarity_loss(new, past, delta=0.5)
+    assert float(loss) == pytest.approx(0.5)  # only the parallel pair clips
+    # orthogonal-ish new vector under the margin -> 0
+    new2 = jnp.asarray([[1.0, 1.0]])  # cos = 0.707 with each -> 0.207*2
+    loss2 = classifier_similarity_loss(new2, past, delta=0.5)
+    assert float(loss2) == pytest.approx(2 * (np.sqrt(0.5) - 0.5), abs=1e-6)
+
+
+def test_scail_standardize():
+    rng = np.random.RandomState(0)
+    kh, kw, cin, A, C = 3, 3, 8, 9, 4
+    kernel = rng.randn(kh, kw, cin, A * C).astype(np.float32)
+    # make new classes (2,3) much larger
+    k5 = kernel.reshape(kh, kw, cin, A, C)
+    k5[..., 2:] *= 10
+    params = {"classification_head": {"output": {
+        "kernel": jnp.asarray(k5.reshape(kh, kw, cin, A * C)),
+        "bias": jnp.zeros(A * C)}}}
+    out = standardize_new_classifier(params, num_past_class=2, num_anchors=A)
+    from cl_object_detection_tpu.models.expand import classifier_class_vectors
+
+    v_before = classifier_class_vectors(params, A)
+    v_after = classifier_class_vectors(out, A)
+    # old classes untouched
+    np.testing.assert_allclose(v_after[:2], v_before[:2], rtol=1e-6)
+    # new class norms now match the old ranked-mean norm
+    target = np.linalg.norm(ranked_mean(v_before[:2]))
+    np.testing.assert_allclose(np.linalg.norm(v_after[2]), target, rtol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(v_after[3]), target, rtol=1e-5)
+
+
+def test_prototype_loss_margin():
+    from cl_object_detection_tpu.il.prototype import prototype_loss_from_batch
+
+    B, cells, D, A = 1, 4, 8, 9
+    unfolded = jnp.ones((B, cells, D))
+    pos = jnp.zeros((B, cells * A), bool).at[0, 0].set(True)
+    labels = jnp.zeros((B, cells * A), jnp.int32) + 2  # new class (past=2)
+    old_protos = jnp.zeros((2, D))  # distance = sqrt(8) ~ 2.83
+    loss = prototype_loss_from_batch(
+        unfolded, pos, labels, old_protos, num_past_class=2, num_new_class=1,
+        margin=10.0, weight=1.0,
+    )
+    # cur prototype averages over 9 slots but only slot 0 has data ->
+    # mean = ones/9... counts clamp handles empties; dist to zeros
+    assert float(loss) > 0  # inside the margin -> positive
+    loss_far = prototype_loss_from_batch(
+        unfolded * 1000, pos, labels, old_protos, num_past_class=2,
+        num_new_class=1, margin=10.0, weight=1.0,
+    )
+    assert float(loss_far) == 0.0  # far outside the margin

@@ -91,3 +91,44 @@ def test_incremental_with_distill_and_replay(toy, tmp_path):
     # replay memory recorded
     meta = trainer.ckpt.load_sidecar(1, "examplar")
     assert meta and len(meta) >= 1
+
+
+def test_incremental_multimethod_sweep(toy, tmp_path):
+    """BASELINE config 5: MAS + BiC + replay + A-GEM + pseudo-labels."""
+    from cl_object_detection_tpu.config import (
+        AGEMConfig,
+        BiCConfig,
+        MASConfig,
+        PseudoLabelConfig,
+    )
+
+    cfg = tiny_cfg(
+        str(tmp_path), ["3", "2"], end_state=1,
+        distill=DistillConfig(enabled=True),
+        # sample_num=2 + ratio 0.4 -> BiC carves 1 exemplar per class and
+        # leaves 1 (sample_num=1 would let BiC consume the whole replay
+        # memory — true of the reference's carve logic too, bic.py:98-132)
+        replay=ReplayConfig(sample_num=2, sample_method="random"),
+        mas=MASConfig(enabled=True, ratio=0.5),
+        agem=AGEMConfig(enabled=True, refresh_every=4),
+        bic=BiCConfig(enabled=True, ratio=0.4),
+        pseudo=PseudoLabelConfig(enabled=True, score_thresh=0.2),
+    )
+    trainer = ILTrainer(cfg, os.path.join(toy, "train.json"),
+                        os.path.join(toy, "images"), workdir=str(tmp_path))
+    train_process(trainer)
+
+    assert trainer.cur_state == 1
+    assert trainer.num_classes == 5
+    # every tool came up
+    assert trainer.mas_importance is not None
+    assert trainer.agem is not None and trainer.agem.replay_grad is not None
+    assert trainer.bic is not None
+    # bic alphas for state 1 moved off their init (trained post-epoch)
+    alphas = np.asarray(trainer.bic.params.alphas)
+    assert alphas.shape[0] == 1
+    # checkpoint meta carries bic params
+    _, meta = trainer.ckpt.restore(1, -1)
+    assert "bic" in meta
+    # mas importance sidecar cached
+    assert trainer.ckpt.load_array_sidecar(0, "mas_importance") is not None
