@@ -27,8 +27,7 @@ def main():
     from cl_object_detection_tpu.config import ModelConfig, PredictConfig
     from cl_object_detection_tpu.models import create_retinanet
     from cl_object_detection_tpu.ops.anchors import anchors_for_shape
-    from cl_object_detection_tpu.ops.boxes import clip_boxes, decode_boxes
-    from cl_object_detection_tpu.ops.nms import batched_nms
+    from cl_object_detection_tpu.ops.nms import detect_batch
 
     H, W = 640, 1024          # canonical landscape eval shape
     BATCH = 8
@@ -44,9 +43,8 @@ def main():
     def predict_sum(images):
         logits, regression = model.apply(variables, images, enable_act=False)
         cls = jax.nn.sigmoid(logits)
-        boxes = clip_boxes(decode_boxes(anchors[None], regression), H, W)
-        det = batched_nms(
-            boxes, cls,
+        det = detect_batch(
+            cls, regression, anchors, height=H, width=W,
             score_thresh=pcfg.score_thresh, iou_thresh=pcfg.nms_iou,
             pre_nms_topk=pcfg.pre_nms_topk,
             max_detections=pcfg.max_detections, use_pallas=use_pallas,

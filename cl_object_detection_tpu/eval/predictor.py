@@ -47,11 +47,14 @@ def make_predict_fn(
         if bic_correct is not None:
             logits = bic_correct(logits)
         cls = jax.nn.sigmoid(logits)
-        boxes = decode_boxes(anchors[None], regression)
-        boxes = clip_boxes(boxes, h, w)
-        return batched_nms(
-            boxes,
+        from ..ops.nms import detect_batch
+
+        return detect_batch(
             cls,
+            regression,
+            anchors,
+            height=h,
+            width=w,
             score_thresh=predict_cfg.score_thresh,
             iou_thresh=predict_cfg.nms_iou,
             pre_nms_topk=predict_cfg.pre_nms_topk,

@@ -79,6 +79,13 @@ def _smooth_l1(diff: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
     return jnp.where(ad < beta, 0.5 * ad * ad / beta, ad - 0.5 * beta)
 
 
+def _safe_norm(x, axis=None, eps: float = 1e-12):
+    """sqrt(sum(x^2) + eps): jnp.linalg.norm has a NaN gradient at exactly
+    zero vectors (which DO occur — e.g. all-ReLU-dead FPN rows in padded
+    regions), poisoning the whole backward pass."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + eps)
+
+
 def _cosine_feat_loss(feat_s, feat_t) -> jnp.ndarray:
     """CosineEmbeddingLoss(target=1) summed over FPN levels
     (losses.py:684-697): per level, mean over all spatial vectors of
@@ -88,7 +95,7 @@ def _cosine_feat_loss(feat_s, feat_t) -> jnp.ndarray:
         fs = fs.astype(jnp.float32).reshape(-1, fs.shape[-1])
         ft = ft.astype(jnp.float32).reshape(-1, ft.shape[-1])
         num = jnp.sum(fs * ft, axis=-1)
-        den = jnp.linalg.norm(fs, axis=-1) * jnp.linalg.norm(ft, axis=-1)
+        den = _safe_norm(fs, axis=-1) * _safe_norm(ft, axis=-1)
         cos = num / jnp.maximum(den, 1e-8)
         total = total + jnp.mean(1.0 - cos)
     return total
@@ -113,6 +120,21 @@ def mas_penalty(params, prev_params, importance, ratio: float) -> jnp.ndarray:
     return ratio * sum(jax.tree.leaves(losses))
 
 
+def classifier_vectors_jnp(params, num_anchors: int = 9,
+                           head_path=("classification_head", "output")) -> jnp.ndarray:
+    """Per-class flattened classifier weights (C, A*kh*kw*cin), as a
+    DIFFERENTIABLE function of the param tree (jnp twin of
+    models.expand.classifier_class_vectors)."""
+    node = params
+    for key in head_path:
+        node = node[key]
+    kernel = node["kernel"].astype(jnp.float32)
+    kh, kw, cin, total = kernel.shape
+    c = total // num_anchors
+    k = kernel.reshape(kh * kw * cin, num_anchors, c)
+    return jnp.transpose(k, (2, 1, 0)).reshape(c, num_anchors * kh * kw * cin)
+
+
 def classifier_similarity_loss(
     new_class_vectors: jnp.ndarray,   # (C_new, D) current new-class weights
     past_class_vectors: jnp.ndarray,  # (C_old, D) frozen teacher weights
@@ -121,11 +143,11 @@ def classifier_similarity_loss(
     """Cosine-margin penalty pushing new classifiers away from old ones
     (losses.py:491-513): sum over new classes of
     sum(clamp(|cos(w_new, w_old)| - delta, 0))."""
-    pn = jnp.linalg.norm(past_class_vectors, axis=1)
+    pn = _safe_norm(past_class_vectors, axis=1)
     total = 0.0
     for j in range(new_class_vectors.shape[0]):
         w = new_class_vectors[j]
-        cos = past_class_vectors @ w / jnp.maximum(pn * jnp.linalg.norm(w), 1e-12)
+        cos = past_class_vectors @ w / jnp.maximum(pn * _safe_norm(w), 1e-12)
         total = total + jnp.sum(jnp.clip(jnp.abs(cos) - delta, 0.0))
     return total
 
@@ -148,8 +170,8 @@ def compute_losses(
     bic_correct=None,                  # fn(logits) -> logits (current state slice)
     mas_prev_params=None,
     mas_importance=None,
-    classifier_vectors: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-    prototype_extras=None,             # (cls_features_fn_output, prototype_features)
+    classifier_vectors: Optional[jnp.ndarray] = None,  # teacher (C_old, D)
+    prototype_extras: Optional[Dict] = None,  # {apply, old_prototypes, margin, weight}
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     s = statics
     result: Dict[str, jnp.ndarray] = {}
@@ -185,7 +207,17 @@ def compute_losses(
             )
     else:
         # -------------- incremental path (losses.py:605-737) ------------
-        logits, regression, feats = model_apply_with_feats(variables, images, False)
+        unfolded = None
+        if s.use_prototype and prototype_extras is not None:
+            # forward_prototype path (losses.py:607-612): also produce the
+            # 3x3-unfolded classification-trunk features
+            logits, regression, feats, unfolded = prototype_extras["apply"](
+                variables, images
+            )
+        else:
+            logits, regression, feats = model_apply_with_feats(
+                variables, images, False
+            )
         if bic_correct is not None:
             logits = bic_correct(logits)
         cls = jax.nn.sigmoid(logits)
@@ -210,6 +242,20 @@ def compute_losses(
         result["reg_loss"] = jnp.mean(out.reg_loss)
         if s.use_enhance_on_new:
             result["enhance_on_new_loss"] = out.enhance_on_new_loss
+
+        if s.use_prototype and prototype_extras is not None and unfolded is not None:
+            from .prototype import prototype_loss_from_batch
+
+            result["prototype_loss"] = prototype_loss_from_batch(
+                unfolded,
+                ~out.bg_mask,
+                out.pos_label,
+                prototype_extras["old_prototypes"],
+                num_past_class=s.num_past_class,
+                num_new_class=s.num_classes - s.num_past_class,
+                margin=prototype_extras.get("margin", 600.0),
+                weight=prototype_extras.get("weight", 0.1),
+            )
 
         if s.use_distill:
             assert teacher_apply_with_feats is not None and teacher_variables is not None
@@ -241,7 +287,12 @@ def compute_losses(
             result["dist_cls_loss"] = _masked_mean((t_cmp - s_cmp) ** 2, cls_mask)
 
             if s.use_classifier_loss and classifier_vectors is not None:
-                new_vecs, past_vecs = classifier_vectors
+                # classifier_vectors = the TEACHER's (C_old, D) matrix;
+                # the student's new-class vectors come from params so the
+                # margin penalty backpropagates (losses.py:491-513)
+                past_vecs = classifier_vectors
+                cur = classifier_vectors_jnp(variables["params"])
+                new_vecs = cur[s.num_past_class:]
                 result["sim_loss"] = classifier_similarity_loss(
                     new_vecs, past_vecs, il_cfg.classifier_loss_delta
                 )

@@ -110,7 +110,10 @@ def prototype_loss_from_batch(
     counts = jnp.transpose(jnp.sum(onehot, axis=(0, 1)))       # (K, 9)
     cur = sums / jnp.maximum(counts[..., None], 1.0)
     cur = jnp.mean(cur, axis=1)                                # (K, D)
-    dist = jnp.linalg.norm(cur[:, None, :] - old_prototypes[None], axis=2)
+    diff = cur[:, None, :] - old_prototypes[None]
+    # eps inside the sqrt: a zero distance (e.g. an all-zero prototype for
+    # a class with no positives) would otherwise produce NaN gradients
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=2) + 1e-8)
     return jnp.mean(jnp.clip(margin - dist, 0.0)) * weight
 
 

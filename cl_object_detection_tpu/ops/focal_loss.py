@@ -44,6 +44,7 @@ class FocalLossOutput(NamedTuple):
     num_pos: jnp.ndarray        # (B,) positive anchor counts
     bg_mask: jnp.ndarray        # (B, A) bool: NOT positive (for distill)
     enhance_on_new_loss: jnp.ndarray  # () scalar
+    pos_label: jnp.ndarray      # (B, A) int32 assigned label on positives, -1 else
 
 
 def focal_loss(
@@ -156,9 +157,10 @@ def focal_loss(
         reg_loss = jnp.sum(jnp.where(pos[:, None], sl1, 0.0)) / (norm * 4.0)
         reg_loss = jnp.where((num_pos > 0) & has_gt, reg_loss, 0.0)
 
-        return bg_loss, fg_loss, reg_loss, num_pos, ~pos, e
+        pos_label = jnp.where(pos & has_gt, assigned_label, -1).astype(jnp.int32)
+        return bg_loss, fg_loss, reg_loss, num_pos, ~pos, e, pos_label
 
-    bg_l, fg_l, reg_l, n_pos, bg_mask, e = jax.vmap(per_image)(
+    bg_l, fg_l, reg_l, n_pos, bg_mask, e, pos_label = jax.vmap(per_image)(
         cls_prob, regression, gt_boxes, gt_labels
     )
-    return FocalLossOutput(bg_l, fg_l, reg_l, n_pos, bg_mask, jnp.sum(e))
+    return FocalLossOutput(bg_l, fg_l, reg_l, n_pos, bg_mask, jnp.sum(e), pos_label)

@@ -45,6 +45,92 @@ def top_k_detections(
     return jnp.take(boxes, idx, axis=0), top_scores, jnp.take(labels, idx)
 
 
+def detect_single(
+    cls_prob: jnp.ndarray,    # (A, C)
+    regression: jnp.ndarray,  # (A, 4) raw deltas
+    anchors: jnp.ndarray,     # (A, 4)
+    *,
+    height: int,
+    width: int,
+    score_thresh: float = 0.05,
+    iou_thresh: float = 0.5,
+    pre_nms_topk: int = 1024,
+    max_detections: int = 300,
+    use_pallas: bool = False,
+    bbox_std=(0.1, 0.1, 0.2, 0.2),
+) -> Detections:
+    """Fused single-image detection: top-k BEFORE decode.
+
+    Decoding all ~123k anchor boxes (640x1024) costs more than the NMS
+    itself; selecting the k candidates first and decoding only those cuts
+    the post-process work by ~100x with identical results (decode is
+    monotonic per anchor — selection depends only on scores).
+    """
+    from .boxes import clip_boxes, decode_boxes
+
+    scores = jnp.max(cls_prob, axis=-1)
+    labels = jnp.argmax(cls_prob, axis=-1).astype(jnp.int32)
+    scores = jnp.where(scores > score_thresh, scores, 0.0)
+    k = min(pre_nms_topk, scores.shape[0])
+    cand_scores, idx = jax.lax.top_k(scores, k)
+    cand_labels = jnp.take(labels, idx)
+    cand_deltas = jnp.take(regression, idx, axis=0)
+    cand_anchors = jnp.take(anchors, idx, axis=0)
+    cand_boxes = clip_boxes(
+        decode_boxes(cand_anchors, cand_deltas, std=bbox_std), height, width
+    )
+
+    span = jnp.max(cand_boxes) + 1.0
+    offset = cand_labels.astype(cand_boxes.dtype)[:, None] * span
+    if use_pallas:
+        from .nms_pallas import nms_pallas
+
+        keep = nms_pallas(cand_boxes + offset, cand_scores, iou_thresh)
+    else:
+        keep = nms_padded(cand_boxes + offset, cand_scores, iou_thresh)
+
+    kept_scores = jnp.where(keep, cand_scores, 0.0)
+    d = min(max_detections, kept_scores.shape[0])
+    out_scores, oidx = jax.lax.top_k(kept_scores, d)
+    return Detections(
+        boxes=jnp.take(cand_boxes, oidx, axis=0),
+        scores=out_scores,
+        labels=jnp.take(cand_labels, oidx),
+        valid=out_scores > score_thresh,
+    )
+
+
+def detect_batch(
+    cls_prob: jnp.ndarray,    # (B, A, C)
+    regression: jnp.ndarray,  # (B, A, 4)
+    anchors: jnp.ndarray,     # (A, 4)
+    *,
+    height: int,
+    width: int,
+    score_thresh: float = 0.05,
+    iou_thresh: float = 0.5,
+    pre_nms_topk: int = 1024,
+    max_detections: int = 300,
+    use_pallas: bool = False,
+) -> Detections:
+    """Batch of :func:`detect_single` (unrolled for the Pallas path)."""
+    fn = lambda p, r: detect_single(
+        p, r, anchors, height=height, width=width,
+        score_thresh=score_thresh, iou_thresh=iou_thresh,
+        pre_nms_topk=pre_nms_topk, max_detections=max_detections,
+        use_pallas=use_pallas,
+    )
+    if not use_pallas:
+        return jax.vmap(fn)(cls_prob, regression)
+    dets = [fn(cls_prob[i], regression[i]) for i in range(cls_prob.shape[0])]
+    return Detections(
+        boxes=jnp.stack([d.boxes for d in dets]),
+        scores=jnp.stack([d.scores for d in dets]),
+        labels=jnp.stack([d.labels for d in dets]),
+        valid=jnp.stack([d.valid for d in dets]),
+    )
+
+
 def nms_padded(
     boxes: jnp.ndarray,   # (k, 4) sorted by descending score
     scores: jnp.ndarray,  # (k,)

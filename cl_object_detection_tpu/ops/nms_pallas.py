@@ -31,6 +31,55 @@ from jax.experimental.pallas import tpu as pltpu
 ROW_BLOCK = 256
 
 
+def _nms_kernel_v2(iou_thresh: float, boxes_ref, scores_ref, keep_ref, supp_ref):
+    """Scan state packed into a single (8, 128) vreg per 1024 candidates.
+
+    The v1 kernel kept the mask as (1, k): one sublane of eight used, so
+    every scan op wasted 7/8 of the VPU. Here the suppression matrix is
+    stored as (k, 8, k//128) — row i pre-shaped to the (8, k//128*128)
+    vreg tiling — and the k-step scan runs entirely on (8, k//8) tiles.
+    """
+    k = scores_ref.shape[1]
+    lanes = k // 8
+
+    x1 = boxes_ref[0:1, :]
+    y1 = boxes_ref[1:2, :]
+    x2 = boxes_ref[2:3, :]
+    y2 = boxes_ref[3:4, :]
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+
+    for rb in range(k // ROW_BLOCK):
+        s = rb * ROW_BLOCK
+        rx1 = jnp.transpose(x1[:, s : s + ROW_BLOCK])
+        ry1 = jnp.transpose(y1[:, s : s + ROW_BLOCK])
+        rx2 = jnp.transpose(x2[:, s : s + ROW_BLOCK])
+        ry2 = jnp.transpose(y2[:, s : s + ROW_BLOCK])
+        rarea = jnp.transpose(area[:, s : s + ROW_BLOCK])
+
+        iw = jnp.maximum(jnp.minimum(rx2, x2) - jnp.maximum(rx1, x1), 0.0)
+        ih = jnp.maximum(jnp.minimum(ry2, y2) - jnp.maximum(ry1, y1), 0.0)
+        inter = iw * ih
+        union = jnp.maximum(rarea + area - inter, 1e-8)
+        supp = (inter > iou_thresh * union).astype(jnp.float32)   # (RB, k)
+        supp_ref[pl.ds(s, ROW_BLOCK)] = supp.reshape(ROW_BLOCK, 8, lanes)
+
+    # flat index of each mask element in the (8, lanes) tiling
+    fi = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 0) * lanes
+        + jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 1)
+    )
+    keep0 = (scores_ref[0:1, :] > 0.0).astype(jnp.float32).reshape(8, lanes)
+
+    def body(i, keep):
+        alive = jnp.sum(keep * (fi == i).astype(jnp.float32))
+        row = supp_ref[pl.ds(i, 1)].reshape(8, lanes)
+        later = (fi > i).astype(jnp.float32)
+        return keep * (1.0 - alive * row * later)
+
+    keep = jax.lax.fori_loop(0, k, body, keep0)
+    keep_ref[0:1, :] = keep.reshape(1, k)
+
+
 def _nms_kernel(iou_thresh: float, boxes_ref, scores_ref, keep_ref, supp_ref):
     k = scores_ref.shape[1]
 
@@ -88,15 +137,23 @@ def nms_pallas(
     boxes_t = jnp.transpose(boxes.astype(jnp.float32))          # (4, k)
     scores_2d = scores.astype(jnp.float32).reshape(1, k)
 
+    # v2 runs the scan on full (8, k//8) vregs; needs lane-aligned k//8
+    if (k // 8) % 128 == 0:
+        kernel = functools.partial(_nms_kernel_v2, iou_thresh)
+        scratch = pltpu.VMEM((k, 8, k // 8), jnp.float32)
+    else:
+        kernel = functools.partial(_nms_kernel, iou_thresh)
+        scratch = pltpu.VMEM((k, k), jnp.float32)
+
     keep = pl.pallas_call(
-        functools.partial(_nms_kernel, iou_thresh),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((k, k), jnp.float32)],
+        scratch_shapes=[scratch],
         interpret=interpret,
     )(boxes_t, scores_2d)
     return keep[0] > 0.5

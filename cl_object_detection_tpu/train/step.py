@@ -95,6 +95,9 @@ def make_train_step(
     apply_feats = lambda v, x, act: model.apply(
         v, x, enable_act=act, method="forward_all"
     )
+    apply_proto = lambda v, x: model.apply(
+        v, x, enable_act=False, method="classification_features"
+    )
     if teacher_model is not None:
         t_apply_feats = lambda v, x, act: teacher_model.apply(
             v, x, enable_act=act, method="forward_all"
@@ -116,7 +119,18 @@ def make_train_step(
         mas_importance=None,
         bic_correct=None,
         trainable_mask=None,
+        prototype_features=None,
+        classifier_vectors=None,
     ):
+        proto_extras = None
+        if loss_statics.use_prototype and prototype_features is not None:
+            proto_extras = {
+                "apply": apply_proto,
+                "old_prototypes": prototype_features,
+                "margin": il_cfg.prototype.margin,
+                "weight": il_cfg.prototype.weight,
+            }
+
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             total, metrics = compute_losses(
@@ -136,6 +150,8 @@ def make_train_step(
                 bic_correct=bic_correct,
                 mas_prev_params=mas_prev_params,
                 mas_importance=mas_importance,
+                prototype_extras=proto_extras,
+                classifier_vectors=classifier_vectors,
             )
             return total, metrics
 

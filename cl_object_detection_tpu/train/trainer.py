@@ -129,6 +129,7 @@ class ILTrainer:
         # CL tools ------------------------------------------------------
         self.teacher_model = None
         self.teacher_variables = None
+        self._teacher_class_vectors = None
         self.mas_importance = None
         self.mas_prev_params = None
         self.agem: Optional[AGem] = None
@@ -197,7 +198,10 @@ class ILTrainer:
             and cfg.distill.enabled,
             use_mas=cfg.mas.enabled and self.mas_importance is not None
             and not is_replay,
-            use_prototype=False,   # wired via train step extras when enabled
+            # prototype loss switches on after start_epoch (losses.py:606)
+            use_prototype=cfg.prototype.loss and incremental
+            and self.prototype_features is not None
+            and self.cur_epoch > cfg.prototype.start_epoch,
             ignore_gd=cfg.ignore_gd,
         )
 
@@ -216,7 +220,9 @@ class ILTrainer:
         )
 
     def _get_step(self, is_replay: bool, orientation: str):
-        key = (is_replay, self._warm_kind, self.cur_state, orientation)
+        statics = self._loss_statics(is_replay)
+        key = (is_replay, self._warm_kind, self.cur_state, orientation,
+               statics.use_prototype)
         if key not in self._steps:
             anchors = self.anchors_land if orientation == "land" else self.anchors_port
             self._steps[key] = make_train_step(
@@ -276,6 +282,14 @@ class ILTrainer:
         if statics.use_mas:
             kwargs["mas_prev_params"] = self.mas_prev_params
             kwargs["mas_importance"] = self.mas_importance
+        if statics.use_prototype:
+            # slot-averaged OLD-class prototypes, as the reference caches
+            # them at IL_Loss init (losses.py:465-470)
+            kwargs["prototype_features"] = jnp.asarray(
+                self.prototype_features.mean(axis=1)
+            )
+        if statics.use_classifier_loss and self._teacher_class_vectors is not None:
+            kwargs["classifier_vectors"] = self._teacher_class_vectors
         if self.cfg.il.agem.enabled and self.agem is not None and not is_replay:
             if self.agem.replay_grad is None:
                 self.agem.compute_replay_grad(self.variables())
@@ -459,6 +473,11 @@ class ILTrainer:
             "batch_stats": tree["batch_stats"],
         }
         self.mas_prev_params = tree["params"]
+        if cfg.classifier_loss:
+            self._teacher_class_vectors = jnp.asarray(
+                classifier_class_vectors(tree["params"],
+                                         self.cfg.model.num_anchors)
+            )
         self._steps.clear()
 
     def _update_mas(self) -> None:

@@ -132,3 +132,29 @@ def test_incremental_multimethod_sweep(toy, tmp_path):
     assert "bic" in meta
     # mas importance sidecar cached
     assert trainer.ckpt.load_array_sidecar(0, "mas_importance") is not None
+
+
+def test_incremental_prototype_and_classifier_loss(toy, tmp_path):
+    """Prototype anchoring + prototype-herd sampling + classifier-sim loss."""
+    from cl_object_detection_tpu.config import PrototypeConfig
+
+    cfg = tiny_cfg(
+        str(tmp_path), ["3", "2"], end_state=1,
+        distill=DistillConfig(enabled=True),
+        replay=ReplayConfig(sample_num=1, sample_method="prototype_herd"),
+        prototype=PrototypeConfig(loss=True, start_epoch=0, margin=50.0),
+        classifier_loss=True,
+    )
+    trainer = ILTrainer(cfg, os.path.join(toy, "train.json"),
+                        os.path.join(toy, "images"), workdir=str(tmp_path))
+    train_process(trainer)
+    assert trainer.cur_state == 1
+    assert trainer.prototype_features is not None
+    assert trainer.prototype_features.shape[0] == 3   # prev-state classes
+    assert trainer._teacher_class_vectors is not None
+    # run one more batch and check the loss keys appear
+    batch = next(iter(trainer.train_loader))
+    trainer.cur_epoch = 1
+    m = trainer.run_batch(batch)
+    assert "prototype_loss" in m and np.isfinite(m["prototype_loss"])
+    assert "sim_loss" in m and np.isfinite(m["sim_loss"])

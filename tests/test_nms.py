@@ -83,3 +83,31 @@ def test_batched(rng):
     # scores sorted descending per image
     s = np.asarray(det.scores)
     assert (np.diff(s, axis=1) <= 1e-6).all()
+
+
+def test_detect_single_matches_decode_first(rng):
+    """select-then-decode == decode-then-select (identical results)."""
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.ops.anchors import anchors_for_shape
+    from cl_object_detection_tpu.ops.boxes import clip_boxes, decode_boxes
+    from cl_object_detection_tpu.ops.nms import detect_single, single_image_nms
+
+    anchors = jnp.asarray(anchors_for_shape(64, 64))
+    A = anchors.shape[0]
+    C = 4
+    prob = (rng.rand(A, C) ** 3).astype(np.float32)
+    reg = (rng.randn(A, 4) * 0.3).astype(np.float32)
+
+    old = single_image_nms(
+        clip_boxes(decode_boxes(anchors, jnp.asarray(reg)), 64, 64),
+        jnp.asarray(prob), pre_nms_topk=256, max_detections=50,
+    )
+    new = detect_single(
+        jnp.asarray(prob), jnp.asarray(reg), anchors, height=64, width=64,
+        pre_nms_topk=256, max_detections=50,
+    )
+    np.testing.assert_allclose(np.asarray(old.scores), np.asarray(new.scores), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(old.labels), np.asarray(new.labels))
+    np.testing.assert_array_equal(np.asarray(old.valid), np.asarray(new.valid))
+    np.testing.assert_allclose(np.asarray(old.boxes), np.asarray(new.boxes), atol=1e-4)
