@@ -1,0 +1,164 @@
+"""Batched detection HTTP server.
+
+Production-serving surface (beyond the reference, which is research
+scripts only): a stdlib HTTP server that micro-batches concurrent
+requests into the jitted predict path, amortizing device dispatch.
+
+    python -m cl_object_detection_tpu.cli.serve --root_dir . --scenario 20 \
+        --state 0 [--port 8500] [--cpu]
+
+API:
+  POST /detect      body: raw JPEG/PNG bytes
+                    -> {"detections": [{"box": [x1,y1,x2,y2],
+                        "score": s, "class_id": c}, ...]}
+  GET  /healthz     -> ok
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--root_dir", default=".")
+    parser.add_argument("--scenario", nargs="+", default=["20"])
+    parser.add_argument("--state", type=int, default=0)
+    parser.add_argument("--epoch", type=int, default=-1)
+    parser.add_argument("--depth", type=int, default=50)
+    parser.add_argument("--port", type=int, default=8500)
+    parser.add_argument("--max_batch", type=int, default=8)
+    parser.add_argument("--batch_window_ms", type=float, default=5.0)
+    parser.add_argument("--score_thresh", type=float, default=0.3)
+    parser.add_argument("--cpu", action="store_true")
+    a = parser.parse_args(argv)
+
+    import jax
+
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import cv2
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..config import DataConfig, ModelConfig, PredictConfig
+    from ..data.transforms import normalize_image
+    from ..eval.predictor import make_predict_fn
+    from ..models import create_retinanet
+    from ..utils.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(f"{a.root_dir}/checkpoint", a.scenario)
+    tree, il_meta = ckpt.restore(a.state, a.epoch)
+    num_classes = il_meta["num_classes"] if il_meta else 20
+    model = create_retinanet(ModelConfig(depth=a.depth), num_classes)
+    variables = {
+        "params": jax.tree.map(jnp.asarray, tree["params"]),
+        "batch_stats": jax.tree.map(jnp.asarray, tree["batch_stats"]),
+    }
+    predict = make_predict_fn(model, PredictConfig(score_thresh=0.05))
+    dcfg = DataConfig()
+
+    def letterbox(img):
+        """Fit ANY orientation into the single landscape serving frame:
+        scale = min(H/h, W/w), then zero-pad (unlike training's two
+        orientation buckets, a server wants exactly one compiled shape)."""
+        h, w = img.shape[:2]
+        scale = min(dcfg.height / h, dcfg.width / w)
+        nh, nw = int(h * scale), int(w * scale)
+        resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        out = np.zeros((dcfg.height, dcfg.width, 3), np.float32)
+        out[:nh, :nw] = resized
+        return normalize_image(out), scale
+
+    # fixed-size batcher: requests queue up; the device thread pads to
+    # max_batch so ONE compiled shape serves every request
+    work: "queue.Queue" = queue.Queue()
+
+    def device_loop():
+        # warm up the compile with a dummy batch
+        dummy = np.zeros((a.max_batch, dcfg.height, dcfg.width, 3), np.float32)
+        predict(variables, jnp.asarray(dummy))
+        print(f"serving on :{a.port} (batch {a.max_batch})")
+        while True:
+            first = work.get()
+            batch = [first]
+            deadline = time.perf_counter() + a.batch_window_ms / 1e3
+            while len(batch) < a.max_batch:
+                timeout = deadline - time.perf_counter()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(work.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            images = np.zeros((a.max_batch, dcfg.height, dcfg.width, 3), np.float32)
+            scales = np.ones(a.max_batch, np.float32)
+            for i, (img, _done, _out) in enumerate(batch):
+                images[i], scales[i] = letterbox(img)
+            det = predict(variables, jnp.asarray(images))
+            boxes = np.asarray(det.boxes)
+            scores = np.asarray(det.scores)
+            labels = np.asarray(det.labels)
+            valid = np.asarray(det.valid)
+            for i, (_img, done, out) in enumerate(batch):
+                keep = valid[i] & (scores[i] > a.score_thresh)
+                out["detections"] = [
+                    {
+                        "box": (boxes[i, d] / scales[i]).tolist(),
+                        "score": float(scores[i, d]),
+                        "class_id": int(labels[i, d]),
+                    }
+                    for d in np.where(keep)[0]
+                ]
+                done.set()
+
+    threading.Thread(target=device_loop, daemon=True).start()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(b"ok")
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def do_POST(self):
+            if self.path != "/detect":
+                self.send_response(404)
+                self.end_headers()
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(length)
+            arr = np.frombuffer(data, np.uint8)
+            bgr = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+            if bgr is None:
+                self.send_response(400)
+                self.end_headers()
+                self.wfile.write(b'{"error": "undecodable image"}')
+                return
+            rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255
+            done = threading.Event()
+            out: dict = {}
+            work.put((rgb, done, out))
+            done.wait(timeout=60)
+            body = json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+    ThreadingHTTPServer(("0.0.0.0", a.port), Handler).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,14 @@ def main(argv=None):
     maybe_force_cpu(a)
     cfg = args_to_config(a)
 
+    if cfg.debug:
+        # the reference's --debug raised instead of swallowing exceptions
+        # (train.py:102-111); we already fail fast — here --debug true adds
+        # NaN tripwires on every jitted function
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
     from ..train.loop import train_process
     from ..train.trainer import ILTrainer
     from ..utils.recorder import Recorder

@@ -273,6 +273,9 @@ class TrainConfig:
     end_epoch: Optional[int] = None
     checkpoint_dir: str = "checkpoint"
     keep_every: int = 5                # retention: keep epoch%5==0 + latest
+    save_every: int = 1                # checkpoint every N epochs (+ final);
+                                       # saving pulls ~0.5GB through the
+                                       # device tunnel, a real cost per epoch
     record: bool = True                # TensorBoard recording
     description: str = "None"
     debug: bool = False

@@ -133,7 +133,8 @@ def train_process(trainer: ILTrainer, recorder: Optional[Recorder] = None,
                 print(f"BiC epoch loss: {bic_loss:.4f}")
 
             trainer.step_scheduler(cur_epoch)
-            trainer.save(cur_epoch, epoch_loss)
+            if cur_epoch % max(cfg.save_every, 1) == 0 or cur_epoch == end_epoch:
+                trainer.save(cur_epoch, epoch_loss)
             if cur_epoch % 5 == 0:
                 trainer.ckpt.auto_delete(cur_state, cur_epoch)
             recorder.end_epoch(cur_state, cur_epoch)

@@ -112,19 +112,50 @@ class ILTrainer:
         self.replay_loader: Optional[BatchLoader] = None
 
         # model ---------------------------------------------------------
-        self.num_classes = self.states[self.cur_state].num_knowing_class
-        self.model = create_retinanet(cfg.model, self.num_classes)
-        rng = jax.random.PRNGKey(cfg.seed)
         h, w = cfg.data.height, cfg.data.width
+        self.anchors_land = jnp.asarray(anchors_for_shape(h, w))
+        self.anchors_port = jnp.asarray(anchors_for_shape(w, h))
+
+        # cross-state resume (reference main.py:46-49, 82): entering state
+        # k at epoch 1 starts from state k-1's newest checkpoint with the
+        # PREVIOUS class count, then expands
+        start_epoch = cfg.start_epoch or 1
+        cross_state = (
+            self.cur_state >= 1
+            and start_epoch == 1
+            and self.ckpt.latest_epoch(self.cur_state - 1) is not None
+        )
+        init_classes = (
+            self.states[self.cur_state - 1].num_knowing_class
+            if cross_state
+            else self.states[self.cur_state].num_knowing_class
+        )
+        self.num_classes = init_classes
+        self.model = create_retinanet(cfg.model, init_classes)
+        rng = jax.random.PRNGKey(cfg.seed)
         variables = self.model.init(rng, jnp.zeros((1, min(h, 256), min(w, 256), 3)))
-        if cfg.model.pretrained:
+        if cross_state:
+            tree, _ = self.ckpt.restore(self.cur_state - 1, -1)
+            variables = {
+                "params": jax.tree.map(jnp.asarray, tree["params"]),
+                "batch_stats": jax.tree.map(jnp.asarray, tree["batch_stats"]),
+            }
+        elif (
+            start_epoch > 1
+            and self.ckpt.latest_epoch(self.cur_state) is not None
+        ):
+            # mid-state resume (main.py:70-71): restore before tool init so
+            # herding/similarity/pseudo-labels run on trained weights
+            tree, _ = self.ckpt.restore(self.cur_state, start_epoch - 1)
+            variables = {
+                "params": jax.tree.map(jnp.asarray, tree["params"]),
+                "batch_stats": jax.tree.map(jnp.asarray, tree["batch_stats"]),
+            }
+        elif cfg.model.pretrained:
             from ..models.convert import load_pretrained_backbone
 
             variables = load_pretrained_backbone(variables, cfg.model.pretrained)
         self._new_train_state(variables["params"], variables["batch_stats"])
-
-        self.anchors_land = jnp.asarray(anchors_for_shape(h, w))
-        self.anchors_port = jnp.asarray(anchors_for_shape(w, h))
 
         # CL tools ------------------------------------------------------
         self.teacher_model = None
@@ -138,16 +169,19 @@ class ILTrainer:
         self.prototype_features: Optional[np.ndarray] = None
 
         if self.cur_state >= 1:
-            # ordered init (il_trainer.py:79-89)
+            # ordered init (il_trainer.py:79-89). Prototyper / herding /
+            # similarity run on the PREVIOUS-state model; classifier
+            # expansion happens before the tools that capture the model.
             self._init_prototyper()
             self._init_replay_dataset()
+            if cross_state:
+                self._expand_training_tools()
             self._init_bic()
             self._update_replay_loader()
             self._init_agem()
             self._update_prev_model()
             self._update_mas()
             self._add_pseudo_labels()
-
         self.train_loader = self._make_train_loader()
 
     # ------------------------------------------------------------------
@@ -542,11 +576,41 @@ class ILTrainer:
         if cfg.replay.sample_num != 0:
             self._init_prototyper()
 
-        # 4. classifier expansion + similarity warm-start
+        # 4+5. classifier expansion + similarity warm-start + fresh optimizer
+        self._expand_training_tools(prev_params)
+
+        # 6. replay / bic / agem re-init
+        if self.dataset_replay is not None or cfg.replay.sample_num > 0:
+            self._init_replay_dataset()
+            if self.cur_state == 1:
+                self._init_bic()
+            self._update_replay_loader()
+            if self.cur_state == 1:
+                self._init_agem()
+            if self.bic is not None and self.cur_state > 1:
+                self.bic.next_state()
+
+        self.train_loader = self._make_train_loader()
+
+        # 7. teacher = previous state's latest checkpoint
+        self._update_prev_model()
+        if cfg.mas.enabled:
+            self.mas_prev_params = self.teacher_variables["params"] \
+                if self.teacher_variables else prev_params
+
+        # 8. pseudo-labels for the new state's images
+        self._add_pseudo_labels()
+
+    def _expand_training_tools(self, prev_params=None) -> None:
+        """update_training_tools (il_trainer.py:289-314): similarity-based
+        warm-start + classifier expansion + fresh Adam. ``self.model`` must
+        still be the PREVIOUS-state model (similarity needs it)."""
+        cfg = self.cfg.il
+        prev_params = prev_params if prev_params is not None else self.train_state.params
         st = self.states[self.cur_state]
         method = cfg.init_method
         similarity = None
-        if method in ("mean", "large", "onlyNegative"):
+        if method in ("mean", "large", "onlyNegative") and st.num_past_class > 0:
             cached = self.ckpt.load_array_sidecar(self.cur_state - 1, "similarity")
             if cached is not None:
                 similarity = np.asarray(list(cached.values())[0])
@@ -570,31 +634,7 @@ class ILTrainer:
         )
         self.num_classes = st.num_knowing_class
         self.model = create_retinanet(self.cfg.model, self.num_classes)
-
-        # 5. fresh optimizer (il_trainer.py:310-314)
         self._new_train_state(new_params, self.train_state.batch_stats)
-
-        # 6. replay / bic / agem re-init
-        if self.dataset_replay is not None or cfg.replay.sample_num > 0:
-            self._init_replay_dataset()
-            if self.cur_state == 1:
-                self._init_bic()
-            self._update_replay_loader()
-            if self.cur_state == 1:
-                self._init_agem()
-            if self.bic is not None and self.cur_state > 1:
-                self.bic.next_state()
-
-        self.train_loader = self._make_train_loader()
-
-        # 7. teacher = previous state's latest checkpoint
-        self._update_prev_model()
-        if cfg.mas.enabled:
-            self.mas_prev_params = self.teacher_variables["params"] \
-                if self.teacher_variables else prev_params
-
-        # 8. pseudo-labels for the new state's images
-        self._add_pseudo_labels()
 
     def _update_mas_for_next(self) -> None:
         loader = self._make_train_loader()
@@ -623,14 +663,22 @@ class ILTrainer:
         self.ckpt.save(self.cur_state, epoch, self.train_state, il_meta)
 
     def resume(self, state: int, epoch: int = -1) -> int:
-        tree, il_meta = self.ckpt.restore(state, epoch)
+        """Restore params + optimizer state (the reference restores
+        model/optimizer/scheduler on mid-state resume, params.py:282-305).
+        The optimizer tree restores INTO the live structure so optax
+        NamedTuple states keep their types."""
+        target = {
+            "params": self.train_state.params,
+            "batch_stats": self.train_state.batch_stats,
+            "opt_state": self.train_state.opt_state,
+            "step": self.train_state.step,
+        }
+        tree, il_meta = self.ckpt.restore(state, epoch, target=target)
         self.train_state = self.train_state.replace(
             params=jax.tree.map(jnp.asarray, tree["params"]),
             batch_stats=jax.tree.map(jnp.asarray, tree["batch_stats"]),
-            opt_state=jax.tree.map(
-                lambda a, b: jnp.asarray(b) if hasattr(b, "shape") else b,
-                self.train_state.opt_state, tree["opt_state"],
-            ) if tree.get("opt_state") is not None else self.train_state.opt_state,
+            opt_state=tree["opt_state"],
+            step=jnp.asarray(tree["step"]),
         )
         if il_meta and "bic" in il_meta and self.bic is not None:
             self.bic.params.load(il_meta["bic"])

@@ -53,3 +53,31 @@ def test_sidecars(tmp_path, state):
     back = mgr.load_array_sidecar(0, "mas_importance", like=tree)
     np.testing.assert_array_equal(back["a"], tree["a"])
     np.testing.assert_array_equal(back["b"]["c"], tree["b"]["c"])
+
+
+def test_opt_state_resume_with_target(tmp_path, state):
+    """Restoring into the live structure preserves optax NamedTuple types
+    and Adam moments/counters."""
+    import jax.numpy as jnp
+
+    # take a fake step so the opt state is nontrivial
+    g = jax.tree.map(jnp.ones_like, state.params)
+    updates, new_opt = state.tx.update(g, state.opt_state, state.params)
+    state = state.replace(opt_state=new_opt, step=jnp.asarray(5, jnp.int32))
+
+    mgr = CheckpointManager(str(tmp_path), ("20",))
+    mgr.save(0, 1, state)
+
+    target = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": jax.tree.map(jnp.zeros_like, state.opt_state),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    tree, _ = mgr.restore(0, 1, target=target)
+    assert int(tree["step"]) == 5
+    restored_leaves = jax.tree.leaves(tree["opt_state"])
+    orig_leaves = jax.tree.leaves(state.opt_state)
+    assert len(restored_leaves) == len(orig_leaves)
+    for a, b in zip(orig_leaves, restored_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

@@ -158,3 +158,37 @@ def test_incremental_prototype_and_classifier_loss(toy, tmp_path):
     m = trainer.run_batch(batch)
     assert "prototype_loss" in m and np.isfinite(m["prototype_loss"])
     assert "sim_loss" in m and np.isfinite(m["sim_loss"])
+
+
+def test_cross_state_resume(toy, tmp_path):
+    """Launching at --start_state 1 --start_epoch 1 loads state-0's newest
+    checkpoint and expands it (reference main.py:46-49, 82)."""
+    cfg0 = tiny_cfg(str(tmp_path), ["3", "2"], end_state=0)
+    tr0 = ILTrainer(cfg0, os.path.join(toy, "train.json"),
+                    os.path.join(toy, "images"), workdir=str(tmp_path))
+    train_process(tr0)
+    k0 = np.asarray(
+        tr0.train_state.params["classification_head"]["output"]["kernel"]
+    ).reshape(3, 3, 256, 9, 3)
+
+    cfg1 = tiny_cfg(
+        str(tmp_path), ["3", "2"], end_state=1, start_state=1,
+        distill=DistillConfig(enabled=True),
+    )
+    tr1 = ILTrainer(cfg1, os.path.join(toy, "train.json"),
+                    os.path.join(toy, "images"), workdir=str(tmp_path))
+    assert tr1.num_classes == 5
+    k1 = np.asarray(
+        tr1.train_state.params["classification_head"]["output"]["kernel"]
+    ).reshape(3, 3, 256, 9, 5)
+    # old-class filters preserved from the state-0 checkpoint
+    np.testing.assert_allclose(k1[..., :3], k0, rtol=1e-6)
+    # teacher is loaded and matches the state-0 checkpoint too
+    kt = np.asarray(
+        tr1.teacher_variables["params"]["classification_head"]["output"]["kernel"]
+    ).reshape(3, 3, 256, 9, 3)
+    np.testing.assert_allclose(kt, k0, rtol=1e-6)
+    # backbone weights also came from the checkpoint, not random re-init
+    b0 = np.asarray(tr0.train_state.params["backbone"]["conv1"]["kernel"])
+    b1 = np.asarray(tr1.train_state.params["backbone"]["conv1"]["kernel"])
+    np.testing.assert_allclose(b1, b0, rtol=1e-6)
