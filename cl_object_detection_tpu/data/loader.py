@@ -69,6 +69,11 @@ class BatchLoader:
         self.prefetch = prefetch
         self._epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle epoch so data order is a pure function of
+        (seed, state, epoch) — exact-resume determinism (SURVEY.md §5)."""
+        self._epoch = epoch
+
     # ------------------------------------------------------------------
     def _bucketed_batches(self) -> List[List[int]]:
         """Group indices into batches of a single orientation.

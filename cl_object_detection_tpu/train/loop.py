@@ -52,6 +52,9 @@ def train_process(trainer: ILTrainer, recorder: Optional[Recorder] = None,
 
         for cur_epoch in range(start_epoch, end_epoch + 1):
             trainer.cur_epoch = cur_epoch
+            trainer.train_loader.set_epoch(cur_epoch)
+            if trainer.replay_loader is not None:
+                trainer.replay_loader.set_epoch(cur_epoch)
             trainer.warm_up(cur_epoch)
             not_warm_classifier = trainer._warm_kind != "output"
 
@@ -83,6 +86,25 @@ def train_process(trainer: ILTrainer, recorder: Optional[Recorder] = None,
                 replay_iter = iter(trainer.replay_loader)
 
             agem_counter = 0
+            pending = None   # one-batch-delayed metric sync keeps the
+                             # device pipelined (host fetch costs ~30ms RTT)
+
+            def flush_pending():
+                nonlocal pending
+                if pending is None:
+                    return
+                it, t0, dev_metrics = pending
+                metrics = {k: float(v) for k, v in dev_metrics.items()}
+                epoch_loss.append(metrics["total_loss"])
+                recorder.add_iter_loss(cur_state, metrics)
+                if it % log_every == 0:
+                    keys = " | ".join(
+                        f"{k}: {v:.4f}" for k, v in sorted(metrics.items())
+                    )
+                    print(f"Epoch {cur_epoch:2d} | Iter {it:3d} | {keys} "
+                          f"| {time.time() - t0:.2f}s")
+                pending = None
+
             for iter_num, batch in enumerate(trainer.train_loader):
                 trainer.set_replay_beta(False)
                 if cfg.il.agem.enabled and trainer.agem is not None:
@@ -91,19 +113,15 @@ def train_process(trainer: ILTrainer, recorder: Optional[Recorder] = None,
                     agem_counter += 1
 
                 t0 = time.time()
-                metrics = trainer.run_batch(batch, is_replay=False)
-                epoch_loss.append(metrics["total_loss"])
-                recorder.add_iter_loss(cur_state, metrics)
-                if iter_num % log_every == 0:
-                    keys = " | ".join(
-                        f"{k}: {v:.4f}" for k, v in sorted(metrics.items())
-                    )
-                    print(f"Epoch {cur_epoch:2d} | Iter {iter_num:3d} | {keys} "
-                          f"| {time.time() - t0:.2f}s")
+                dev_metrics = trainer.run_batch(batch, is_replay=False,
+                                                sync_metrics=False)
+                flush_pending()
+                pending = (iter_num, t0, dev_metrics)
 
                 # interleaved replay (train.py:250-271)
                 if (replay_exist and not_warm_classifier and do_mix
                         and iter_num in do_replay_ids):
+                    flush_pending()
                     trainer.set_replay_beta(True)
                     for _ in range(do_replay_ids[iter_num]):
                         try:
@@ -115,6 +133,8 @@ def train_process(trainer: ILTrainer, recorder: Optional[Recorder] = None,
                         recorder.add_iter_loss(
                             cur_state, {f"replay_{k}": v for k, v in m.items()}
                         )
+
+            flush_pending()
 
             # tail replay pass (train.py:275-298)
             if (replay_exist and not_warm_classifier and not do_mix):

@@ -267,7 +267,9 @@ class ILTrainer:
                 self.cfg.focal,
                 self._loss_statics(is_replay),
                 self._step_statics(),
-                donate=False,
+                # donate the TrainState buffers: the old state is dead the
+                # moment the step returns (nothing else aliases it)
+                donate=True,
             )
         return self._steps[key]
 
@@ -300,7 +302,8 @@ class ILTrainer:
     # ------------------------------------------------------------------
     # one training batch
     # ------------------------------------------------------------------
-    def run_batch(self, batch, is_replay: bool = False) -> Dict[str, float]:
+    def run_batch(self, batch, is_replay: bool = False,
+                  sync_metrics: bool = True) -> Dict[str, Any]:
         orientation = (
             "land" if batch.images.shape[1] == self.cfg.data.height else "port"
         )
@@ -338,10 +341,19 @@ class ILTrainer:
             jnp.asarray(batch.labels),
             **kwargs,
         )
-        return {k: float(v) for k, v in metrics.items()}
+        if sync_metrics:
+            return {k: float(v) for k, v in metrics.items()}
+        # device-side scalars: the caller decides when to pay the host
+        # round-trip (~30ms through the tunnel), keeping steps pipelined
+        return metrics
 
     def set_replay_beta(self, is_replay: bool) -> None:
-        """change_beta (train.py:133-150)."""
+        """change_beta (train.py:133-150). No-op unless the batch kind
+        actually flipped (the reference rewrites betas every iteration;
+        here that would rebuild the optimizer tree per step for nothing)."""
+        if getattr(self, "_beta_is_replay", None) == is_replay:
+            return
+        self._beta_is_replay = is_replay
         sched = self.cfg.schedule
         if is_replay:
             self.train_state = self.train_state.replace(

@@ -91,3 +91,18 @@ def test_replay_dataset_sampling(toy):
     rd2 = ReplayDataset(coco, states, root + "/images", per_num=1, seed=0)
     rd2.reset_by_img_ids(1, rd.image_ids[:3])
     assert rd2.cur_state == 1
+
+
+def test_loader_deterministic_per_epoch(toy):
+    root, coco, states = toy
+    cfg = DataConfig(batch_size=2, height=256, width=384, max_boxes=10,
+                     min_side=200, max_side=384)
+    ds = ILDataset(coco, states, root + "/images", split="test", start_state=1)
+
+    def order(epoch):
+        loader = BatchLoader(ds, cfg, shuffle=True, augment=False, prefetch=0, seed=3)
+        loader.set_epoch(epoch)
+        return [tuple(b.image_ids.tolist()) for b in loader]
+
+    assert order(4) == order(4)          # same (seed, epoch) -> same order
+    assert order(4) != order(5)          # different epoch -> reshuffled
