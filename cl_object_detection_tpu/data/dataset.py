@@ -177,6 +177,19 @@ class ReplayDataset(ILDataset):
                 return
         raise ValueError("length of img_ids doesn't match any state")
 
+    def reset_explicit(self, per_num: int, img_ids: Sequence[int], state: int) -> None:
+        """Like reset_by_img_ids but with the state given explicitly.
+
+        The reference infers the state from len(img_ids)/per_num
+        (dataloader.py:223-241), which breaks whenever a sampler returns
+        fewer than per_num exemplars for a scarce class — the trainer
+        always knows the state, so it passes it.
+        """
+        self.image_ids = list(img_ids)
+        self.per_num = per_num
+        self.cur_state = state
+        self.seen_class_ids = list(self.states[state - 1].knowing_ids)
+
     def _future_img_ids(self, from_state: int) -> Set[int]:
         future: List[int] = []
         for i in range(from_state, len(self.states)):

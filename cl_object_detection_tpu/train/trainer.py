@@ -424,8 +424,8 @@ class ILTrainer:
                 self.variables(), prev_ds, self.cfg.data, cfg.sample_num,
                 future_img_ids=self._future_img_ids(),
             )
-            self.dataset_replay.reset_by_img_ids(
-                cfg.sample_num, self.herd_sampler.examplar_list
+            self.dataset_replay.reset_explicit(
+                cfg.sample_num, self.herd_sampler.examplar_list, self.cur_state
             )
         elif cfg.sample_method == "prototype_herd":
             assert self.prototype_features is not None
@@ -441,7 +441,7 @@ class ILTrainer:
             }
             picked = sample_by_scores(scores, cfg.sample_num)
             ids = [i for lst in picked.values() for i in lst]
-            self.dataset_replay.reset_by_img_ids(cfg.sample_num, ids)
+            self.dataset_replay.reset_explicit(cfg.sample_num, ids, self.cur_state)
         else:  # random
             self.dataset_replay.reset_by_state(self.cur_state)
 
