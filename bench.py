@@ -42,12 +42,12 @@ def main():
 
     def predict_sum(images):
         logits, regression = model.apply(variables, images, enable_act=False)
-        cls = jax.nn.sigmoid(logits)
         det = detect_batch(
-            cls, regression, anchors, height=H, width=W,
+            logits, regression, anchors, height=H, width=W,
             score_thresh=pcfg.score_thresh, iou_thresh=pcfg.nms_iou,
             pre_nms_topk=pcfg.pre_nms_topk,
             max_detections=pcfg.max_detections, use_pallas=use_pallas,
+            scores_are_logits=True,
         )
         return jnp.sum(det.scores)
 

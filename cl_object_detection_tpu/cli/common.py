@@ -93,6 +93,8 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     # model/data
     p.add_argument("--depth", type=int, default=50)
     p.add_argument("--pretrained", default=None, help="converted backbone npz/pt")
+    p.add_argument("--remat", type=str2bool, default=False,
+                   help="rematerialize backbone blocks (bigger batches)")
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--new_state_epoch", type=int, default=60)
     p.add_argument("--use_data_ratio", type=float, default=1.0)
@@ -130,7 +132,7 @@ def args_to_config(a: argparse.Namespace) -> TrainConfig:
             warm_stage=1, warm_epoch=(10**6,), warm_layers=("output",)
         )
     return TrainConfig(
-        model=ModelConfig(depth=a.depth, pretrained=a.pretrained),
+        model=ModelConfig(depth=a.depth, pretrained=a.pretrained, remat=a.remat),
         focal=FocalConfig(alpha=a.alpha, gamma=a.gamma),
         data=DataConfig(
             root_dir=a.root_dir,

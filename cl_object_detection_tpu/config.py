@@ -34,6 +34,9 @@ class ModelConfig:
     pretrained: Optional[str] = None   # path to converted backbone npz
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"    # MXU-friendly activations
+    remat: bool = False                # jax.checkpoint residual blocks:
+                                       # ~2x activation memory reduction for
+                                       # larger train batches, extra FLOPs
 
 
 @dataclass(frozen=True)

@@ -46,11 +46,12 @@ def make_predict_fn(
         logits, regression = model.apply(variables, images, enable_act=False)
         if bic_correct is not None:
             logits = bic_correct(logits)
-        cls = jax.nn.sigmoid(logits)
         from ..ops.nms import detect_batch
 
+        # sigmoid is monotone: selection happens on logits, sigmoid only
+        # touches the k survivors (see ops.nms.detect_single)
         return detect_batch(
-            cls,
+            logits,
             regression,
             anchors,
             height=h,
@@ -60,6 +61,7 @@ def make_predict_fn(
             pre_nms_topk=predict_cfg.pre_nms_topk,
             max_detections=predict_cfg.max_detections,
             use_pallas=use_pallas,
+            scores_are_logits=True,
         )
 
     return predict

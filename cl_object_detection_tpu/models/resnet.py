@@ -113,11 +113,14 @@ class ResNetBackbone(nn.Module):
     """Stem + 4 stages; returns (C3, C4, C5)."""
     depth: int = 50
     dtype: Any = jnp.float32
+    remat: bool = False   # rematerialize residual blocks (trade FLOPs for HBM)
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         kind, layers = DEPTH_LAYERS[self.depth]
         block = BasicBlock if kind == "basic" else Bottleneck
+        if self.remat:
+            block = nn.remat(block)
 
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,

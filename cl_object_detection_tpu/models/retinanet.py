@@ -59,8 +59,11 @@ class RetinaNet(nn.Module):
     head_layers: int = 4
     dtype: Any = jnp.float32
 
+    remat: bool = False
+
     def setup(self):
-        self.backbone = ResNetBackbone(self.depth, self.dtype, name="backbone")
+        self.backbone = ResNetBackbone(self.depth, self.dtype, self.remat,
+                                       name="backbone")
         self.fpn = FPN(self.fpn_channels, self.dtype, name="fpn")
         self.regression_head = RegressionHead(
             self.num_anchors, self.fpn_channels, self.head_layers, self.dtype,
@@ -122,4 +125,5 @@ def create_retinanet(cfg: ModelConfig, num_classes: int) -> RetinaNet:
         prior=cfg.prior,
         head_layers=cfg.head_layers,
         dtype=jnp.dtype(cfg.compute_dtype),
+        remat=cfg.remat,
     )

@@ -46,7 +46,7 @@ def top_k_detections(
 
 
 def detect_single(
-    cls_prob: jnp.ndarray,    # (A, C)
+    cls_prob: jnp.ndarray,    # (A, C) probabilities — or LOGITS, see flag
     regression: jnp.ndarray,  # (A, 4) raw deltas
     anchors: jnp.ndarray,     # (A, 4)
     *,
@@ -58,6 +58,7 @@ def detect_single(
     max_detections: int = 300,
     use_pallas: bool = False,
     bbox_std=(0.1, 0.1, 0.2, 0.2),
+    scores_are_logits: bool = False,
 ) -> Detections:
     """Fused single-image detection: top-k BEFORE decode.
 
@@ -65,8 +66,26 @@ def detect_single(
     itself; selecting the k candidates first and decoding only those cuts
     the post-process work by ~100x with identical results (decode is
     monotonic per anchor — selection depends only on scores).
+
+    ``scores_are_logits``: sigmoid is monotone, so max/argmax/top-k can run
+    directly on (possibly bf16) logits and sigmoid applies to just the k
+    survivors — skipping a (A, C) sigmoid + f32 materialization.
     """
     from .boxes import clip_boxes, decode_boxes
+
+    if scores_are_logits:
+        raw = jnp.max(cls_prob, axis=-1)
+        labels = jnp.argmax(cls_prob, axis=-1).astype(jnp.int32)
+        k = min(pre_nms_topk, raw.shape[0])
+        top_raw, idx = jax.lax.top_k(raw, k)
+        cand_scores = jax.nn.sigmoid(top_raw.astype(jnp.float32))
+        cand_scores = jnp.where(cand_scores > score_thresh, cand_scores, 0.0)
+        cand_labels = jnp.take(labels, idx)
+        return _finish_detection(
+            cand_scores, cand_labels, idx, regression, anchors,
+            height, width, score_thresh, iou_thresh, max_detections,
+            use_pallas, bbox_std,
+        )
 
     scores = jnp.max(cls_prob, axis=-1)
     labels = jnp.argmax(cls_prob, axis=-1).astype(jnp.int32)
@@ -74,7 +93,19 @@ def detect_single(
     k = min(pre_nms_topk, scores.shape[0])
     cand_scores, idx = jax.lax.top_k(scores, k)
     cand_labels = jnp.take(labels, idx)
-    cand_deltas = jnp.take(regression, idx, axis=0)
+    return _finish_detection(
+        cand_scores, cand_labels, idx, regression, anchors,
+        height, width, score_thresh, iou_thresh, max_detections,
+        use_pallas, bbox_std,
+    )
+
+
+def _finish_detection(cand_scores, cand_labels, idx, regression, anchors,
+                      height, width, score_thresh, iou_thresh,
+                      max_detections, use_pallas, bbox_std) -> Detections:
+    from .boxes import clip_boxes, decode_boxes
+
+    cand_deltas = jnp.take(regression, idx, axis=0).astype(jnp.float32)
     cand_anchors = jnp.take(anchors, idx, axis=0)
     cand_boxes = clip_boxes(
         decode_boxes(cand_anchors, cand_deltas, std=bbox_std), height, width
@@ -112,13 +143,14 @@ def detect_batch(
     pre_nms_topk: int = 1024,
     max_detections: int = 300,
     use_pallas: bool = False,
+    scores_are_logits: bool = False,
 ) -> Detections:
     """Batch of :func:`detect_single` (unrolled for the Pallas path)."""
     fn = lambda p, r: detect_single(
         p, r, anchors, height=height, width=width,
         score_thresh=score_thresh, iou_thresh=iou_thresh,
         pre_nms_topk=pre_nms_topk, max_detections=max_detections,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, scores_are_logits=scores_are_logits,
     )
     if not use_pallas:
         return jax.vmap(fn)(cls_prob, regression)

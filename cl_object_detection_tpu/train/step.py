@@ -159,13 +159,7 @@ def make_train_step(
             state.params
         )
 
-        acc = jax.tree.map(jnp.add, state.grad_acc, grads)
-        count = state.acc_count + 1
-        do_apply = count >= ss.every_iter
-
-        def apply_branch(operand):
-            acc, opt_state, params = operand
-            g = jax.tree.map(lambda a: a / ss.every_iter, acc)
+        def transform_and_apply(g, opt_state, params):
             if trainable_mask is not None:
                 # warm-up freezing (il_trainer.py:337-349): frozen params
                 # get no gradient; mask BEFORE clip so the norm matches
@@ -178,7 +172,26 @@ def make_train_step(
             if ss.use_agem and replay_grad is not None:
                 g = _agem_project(g, replay_grad)
             updates, new_opt = state.tx.update(g, opt_state, params)
-            new_params = jax.tree.map(jnp.add, params, updates)
+            return jax.tree.map(jnp.add, params, updates), new_opt
+
+        if ss.every_iter <= 1:
+            # static fast path: no accumulator traffic, no cond
+            new_params, new_opt = transform_and_apply(
+                grads, state.opt_state, state.params
+            )
+            new_state = state.replace(
+                step=state.step + 1, params=new_params, opt_state=new_opt,
+            )
+            return new_state, metrics
+
+        acc = jax.tree.map(jnp.add, state.grad_acc, grads)
+        count = state.acc_count + 1
+        do_apply = count >= ss.every_iter
+
+        def apply_branch(operand):
+            acc, opt_state, params = operand
+            g = jax.tree.map(lambda a: a / ss.every_iter, acc)
+            new_params, new_opt = transform_and_apply(g, opt_state, params)
             zero = jax.tree.map(jnp.zeros_like, acc)
             return zero, new_opt, new_params
 

@@ -122,3 +122,21 @@ def test_class_vectors_deinterleave(model_and_params):
     vecs = classifier_class_vectors(variables["params"])
     kh, kw, cin, total = variables["params"]["classification_head"]["output"]["kernel"].shape
     assert vecs.shape == (C, 9 * kh * kw * cin)
+
+
+def test_remat_same_tree_and_output():
+    cfg = ModelConfig(depth=18, compute_dtype="float32")
+    cfg_r = ModelConfig(depth=18, compute_dtype="float32", remat=True)
+    m = create_retinanet(cfg, num_classes=3)
+    mr = create_retinanet(cfg_r, num_classes=3)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    # identical param structure -> checkpoints are interchangeable
+    vr = mr.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vr)
+    a, _ = m.apply(v, jnp.ones((1, 64, 64, 3)))
+    b, _ = mr.apply(v, jnp.ones((1, 64, 64, 3)))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # gradients flow through the remat path
+    g = jax.grad(lambda p: mr.apply({"params": p, "batch_stats": v["batch_stats"]},
+                                    jnp.ones((1, 64, 64, 3)))[0].sum())(v["params"])
+    assert np.isfinite(float(jax.tree.leaves(g)[0].sum()))

@@ -111,3 +111,27 @@ def test_detect_single_matches_decode_first(rng):
     np.testing.assert_array_equal(np.asarray(old.labels), np.asarray(new.labels))
     np.testing.assert_array_equal(np.asarray(old.valid), np.asarray(new.valid))
     np.testing.assert_allclose(np.asarray(old.boxes), np.asarray(new.boxes), atol=1e-4)
+
+
+def test_logits_path_matches_prob_path(rng):
+    """scores_are_logits: selection on logits == selection on sigmoid(probs)."""
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.ops.anchors import anchors_for_shape
+    from cl_object_detection_tpu.ops.nms import detect_single
+
+    anchors = jnp.asarray(anchors_for_shape(64, 64))
+    A = anchors.shape[0]
+    C = 4
+    logits = (rng.randn(A, C) * 2 - 2).astype(np.float32)
+    reg = (rng.randn(A, 4) * 0.3).astype(np.float32)
+
+    a = detect_single(jnp.asarray(1 / (1 + np.exp(-logits))), jnp.asarray(reg),
+                      anchors, height=64, width=64, pre_nms_topk=256,
+                      max_detections=50)
+    b = detect_single(jnp.asarray(logits), jnp.asarray(reg), anchors,
+                      height=64, width=64, pre_nms_topk=256,
+                      max_detections=50, scores_are_logits=True)
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.labels), np.asarray(b.labels))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
