@@ -30,7 +30,7 @@ def main():
     from cl_object_detection_tpu.ops.nms import detect_batch
 
     H, W = 640, 1024          # canonical landscape eval shape
-    BATCH = 8
+    BATCH = 16   # sweep (tools/bench_sweep.py): 8->295, 16->305, 32->305 img/s on v5e
     ITERS = 20
     pcfg = PredictConfig()
     model = create_retinanet(ModelConfig(depth=50), num_classes=20)

@@ -85,6 +85,9 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--mix_data_start", type=int, default=0)
     p.add_argument("--every_iter", type=int, default=2)
     p.add_argument("--output_examplar", type=str2bool, default=True)
+    p.add_argument("--print_il_info", type=str2bool, default=True,
+                   help="print IL flags + per-state class table before "
+                        "training (params.print_il_info, params.py:404-411)")
     p.add_argument("--description", default="None")
     # lr
     p.add_argument("--lr", type=float, default=1e-5)
@@ -212,3 +215,28 @@ def resolve_dataset_paths(a: argparse.Namespace, split: str = "train") -> Tuple[
         json_path = os.path.join(base, f"{split}.json")
     image_dir = a.image_dir or os.path.join(os.path.dirname(json_path), "images")
     return json_path, image_dir
+
+
+def print_il_info(cfg, states) -> None:
+    """Print the IL section of the config + per-state class table.
+
+    The reference gates this behind --print_il_info (main.py:223-225) and
+    prints every IL-keyword param (params.print_il_info, params.py:404-411)
+    plus the state table written into params.txt (params.py:429-446).
+    """
+    import dataclasses
+    import json as _json
+
+    print("=" * 60)
+    for key, value in sorted(dataclasses.asdict(cfg.il).items()):
+        print(f"{key} = {_json.dumps(value)}")
+    print("-" * 60)
+    print(f"Total State number = {len(states)}")
+    print(f"Total Class number = {states[len(states) - 1].num_knowing_class}")
+    for i in range(len(states)):
+        st = states[i]
+        print(
+            f"State {i}: new({st.num_new_class}) = {st.new_names}, "
+            f"knowing = {st.num_knowing_class}"
+        )
+    print("=" * 60)

@@ -44,6 +44,12 @@ def main(argv=None):
     train_json, image_dir = resolve_dataset_paths(a, "train")
     trainer = ILTrainer(cfg, train_json, image_dir, workdir=a.root_dir)
 
+    if a.print_il_info:
+        # main.py:223-225 prints the IL params + state table before training
+        from .common import print_il_info
+
+        print_il_info(cfg, trainer.states)
+
     # dump config next to checkpoints (replaces params.txt/il_hparams.pickle,
     # params.py:412-446)
     cfg_path = os.path.join(trainer.ckpt.state_dir(cfg.il.start_state), "params.json")

@@ -4,12 +4,14 @@ Replaces the suppression stage of ops/nms.py (the reference's
 ``torchvision.ops.batched_nms`` C++/CUDA kernel, model.py:540) on TPU.
 
 Why a kernel: exact greedy NMS is inherently sequential over the k
-score-sorted candidates. As an XLA ``fori_loop`` each of the k iterations
-is a separately scheduled device step (~150us/iter measured on v5e via
-axon -> ~160 ms for k=1000). Inside ONE Pallas kernel the loop becomes a
+score-sorted candidates. Inside ONE Pallas kernel the loop becomes a
 Mosaic hardware loop over VMEM-resident state: the (k, k) suppression
 matrix is computed blockwise on the VPU, then the k-step greedy scan does
-two tiny vector ops per step.
+two tiny vector ops per step. Measured on v5e at k=1024 (chained
+invocations, tools/bench_nms.py): 0.69 ms vs 1.31 ms for the XLA
+``fori_loop`` version compiled into the same program — and the XLA loop
+degrades to ~160 ms when its iterations are dispatched separately
+through the remote tunnel instead of fused into one program.
 
 Layout notes:
   * boxes arrive TRANSPOSED (4, k) so each coordinate is a (1, k) lane

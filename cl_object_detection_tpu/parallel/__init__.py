@@ -1,1 +1,8 @@
-from .mesh import create_mesh, data_sharding, replicate, shard_batch
+from .mesh import (
+    create_mesh,
+    data_sharding,
+    global_batch_from_local,
+    init_distributed,
+    replicate,
+    shard_batch,
+)

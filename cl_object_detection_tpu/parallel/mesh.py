@@ -46,3 +46,42 @@ def shard_batch(mesh: Mesh, batch):
         x = np.asarray(x)
         return jax.device_put(x, data_sharding(mesh, x.ndim))
     return jax.tree.map(put, batch)
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host initialization over ICI/DCN (SURVEY.md §2.3).
+
+    No-op for single-process runs (the common case here); on a multi-host
+    slice call this once per host before touching devices. Arguments are
+    optional — on TPU pods JAX autodetects them from the environment.
+    """
+    if num_processes is not None and num_processes <= 1:
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def global_batch_from_local(mesh: Mesh, batch):
+    """Assemble a GLOBAL batch from this host's local shard.
+
+    Each host loads only its slice of the global batch (host-local data
+    loading, SURVEY.md §2.3); ``jax.make_array_from_process_local_data``
+    stitches the per-process pieces into one global ``jax.Array`` sharded
+    over the ``data`` axis. Single-process this equals :func:`shard_batch`.
+    """
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            data_sharding(mesh, x.ndim), x
+        )
+    return jax.tree.map(put, batch)

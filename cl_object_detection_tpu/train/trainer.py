@@ -449,6 +449,47 @@ class ILTrainer:
         self.ckpt.save_sidecar(
             self.cur_state, "examplar", list(self.dataset_replay.image_ids)
         )
+        self._write_examplar_outputs()
+
+    def _write_examplar_outputs(self) -> None:
+        """examplar.txt (one image id per line) + examplar.png montage
+        (il_trainer.py:230-257): sample_num columns per old class, class
+        name captioned. Composited with cv2/numpy (no matplotlib dep)."""
+        state_dir = self.ckpt.state_dir(self.cur_state)
+        img_ids = list(self.dataset_replay.image_ids)
+        with open(os.path.join(state_dir, "examplar.txt"), "w") as f:
+            for img_id in img_ids:
+                f.write(f"{img_id}\n")
+
+        if not self.cfg.output_examplar or not img_ids:
+            return
+        try:
+            import cv2
+        except Exception:
+            return
+        per = self.cfg.il.replay.sample_num
+        num_classes = max(len(img_ids) // per, 1)
+        names = self.states[len(self.states) - 1].knowing_names[:num_classes]
+        th, tw = 180, 240  # thumbnail cell
+        rows = []
+        for r in range(num_classes):
+            cells = []
+            for c in range(per):
+                k = r * per + c
+                cell = np.zeros((th, tw, 3), np.uint8)
+                if k < len(img_ids):
+                    info = self.coco.imgs[img_ids[k]]
+                    path = os.path.join(self.image_dir, info["file_name"])
+                    im = cv2.imread(path)
+                    if im is not None:
+                        cell = cv2.resize(im, (tw, th))
+                    cv2.putText(cell, names[r] if r < len(names) else "?",
+                                (4, 16), cv2.FONT_HERSHEY_SIMPLEX, 0.5,
+                                (0, 255, 0), 1, cv2.LINE_AA)
+                cells.append(cell)
+            rows.append(np.concatenate(cells, axis=1))
+        cv2.imwrite(os.path.join(state_dir, "examplar.png"),
+                    np.concatenate(rows, axis=0))
 
     def _update_replay_loader(self) -> None:
         if self.dataset_replay is None:

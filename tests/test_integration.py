@@ -91,6 +91,12 @@ def test_incremental_with_distill_and_replay(toy, tmp_path):
     # replay memory recorded
     meta = trainer.ckpt.load_sidecar(1, "examplar")
     assert meta and len(meta) >= 1
+    # examplar.txt + montage PNG (il_trainer.py:230-257)
+    state_dir = trainer.ckpt.state_dir(1)
+    with open(os.path.join(state_dir, "examplar.txt")) as f:
+        ids = [int(line) for line in f if line.strip()]
+    assert ids == list(meta)
+    assert os.path.exists(os.path.join(state_dir, "examplar.png"))
 
 
 def test_incremental_multimethod_sweep(toy, tmp_path):

@@ -92,3 +92,24 @@ def test_sharded_matches_single_device():
     np.testing.assert_allclose(
         float(m_plain["total_loss"]), float(m_shard["total_loss"]), rtol=1e-5
     )
+
+
+def test_global_batch_from_local_single_process():
+    """Single-process, make_array_from_process_local_data == shard_batch
+    (the multi-host data-loading path, SURVEY.md §2.3)."""
+    from cl_object_detection_tpu.parallel import (
+        global_batch_from_local,
+        init_distributed,
+        shard_batch,
+    )
+
+    init_distributed(num_processes=1)  # must be a no-op
+    mesh = create_mesh(MeshConfig())
+    rng = np.random.RandomState(0)
+    batch = {"images": rng.randn(8, 16, 16, 3).astype(np.float32),
+             "labels": rng.randint(0, 5, (8, 4)).astype(np.int32)}
+    a = global_batch_from_local(mesh, batch)
+    b = shard_batch(mesh, batch)
+    for k in batch:
+        assert a[k].sharding.is_equivalent_to(b[k].sharding, a[k].ndim)
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))

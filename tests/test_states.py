@@ -76,3 +76,16 @@ def test_shuffle_reproducible():
 def test_scenario_too_long_raises():
     with pytest.raises(ValueError):
         make([15, 10])
+
+
+def test_print_il_info_smoke(capsys):
+    # main.py:223-225 / params.py:404-411 parity surface
+    from cl_object_detection_tpu.cli.common import print_il_info
+    from cl_object_detection_tpu.config import TrainConfig
+
+    st = make([15, 5])
+    print_il_info(TrainConfig(), st)
+    out = capsys.readouterr().out
+    assert "Total State number = 2" in out
+    assert "Total Class number = 20" in out
+    assert "scenario" in out
