@@ -30,15 +30,13 @@ def main():
     from cl_object_detection_tpu.ops.nms import detect_batch
 
     H, W = 640, 1024          # canonical landscape eval shape
-    BATCH = 16   # sweep (tools/bench_sweep.py): 8->295, 16->305, 32->305 img/s on v5e
+    BATCH = 16   # sweep (tools/bench_sweep.py); 370 img/s here with
+                 # iterative NMS (was 305 with per-image Pallas NMS)
     ITERS = 20
     pcfg = PredictConfig()
     model = create_retinanet(ModelConfig(depth=50), num_classes=20)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
     anchors = jnp.asarray(anchors_for_shape(H, W))
-    use_pallas = (
-        pcfg.use_pallas_nms and jax.default_backend() not in ("cpu",)
-    )
 
     def predict_sum(images):
         logits, regression = model.apply(variables, images, enable_act=False)
@@ -46,7 +44,7 @@ def main():
             logits, regression, anchors, height=H, width=W,
             score_thresh=pcfg.score_thresh, iou_thresh=pcfg.nms_iou,
             pre_nms_topk=pcfg.pre_nms_topk,
-            max_detections=pcfg.max_detections, use_pallas=use_pallas,
+            max_detections=pcfg.max_detections, nms_impl=pcfg.nms_impl,
             scores_are_logits=True,
         )
         return jnp.sum(det.scores)

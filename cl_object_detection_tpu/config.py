@@ -239,6 +239,11 @@ class PredictConfig:
                                        # (multiple of 256 for the Pallas kernel)
     max_detections: int = 300          # static output capacity
     use_pallas_nms: bool = True        # fused TPU kernel (auto-off on CPU)
+    nms_impl: str = "iterative"        # "iterative" (fixed-point matvec,
+                                       # fastest single AND batched on v5e:
+                                       # 0.95 ms vs 1.03 pallas / 1.69 loop
+                                       # at k=1024; b16 batched 1.5 ms vs
+                                       # 3.3 / 3.7) | "pallas" | "scan"
 
 
 # ---------------------------------------------------------------------------

@@ -33,11 +33,13 @@ def make_predict_fn(
     The reference's ``thresh`` parameter is overwritten internally with
     0.05 (model.py:530) — here it's honored from PredictConfig.
     """
-    use_pallas = (
+    nms_impl = getattr(predict_cfg, "nms_impl", "iterative")
+    if nms_impl == "pallas" and not (
         predict_cfg.use_pallas_nms
         and predict_cfg.pre_nms_topk % 256 == 0
         and jax.default_backend() not in ("cpu",)
-    )
+    ):
+        nms_impl = "iterative"  # pallas unavailable off-TPU / non-256 topk
 
     @jax.jit
     def predict(variables, images):
@@ -60,7 +62,7 @@ def make_predict_fn(
             iou_thresh=predict_cfg.nms_iou,
             pre_nms_topk=predict_cfg.pre_nms_topk,
             max_detections=predict_cfg.max_detections,
-            use_pallas=use_pallas,
+            nms_impl=nms_impl,
             scores_are_logits=True,
         )
 

@@ -59,6 +59,7 @@ def detect_single(
     use_pallas: bool = False,
     bbox_std=(0.1, 0.1, 0.2, 0.2),
     scores_are_logits: bool = False,
+    nms_impl: str | None = None,
 ) -> Detections:
     """Fused single-image detection: top-k BEFORE decode.
 
@@ -70,9 +71,13 @@ def detect_single(
     ``scores_are_logits``: sigmoid is monotone, so max/argmax/top-k can run
     directly on (possibly bf16) logits and sigmoid applies to just the k
     survivors — skipping a (A, C) sigmoid + f32 materialization.
-    """
-    from .boxes import clip_boxes, decode_boxes
 
+    ``nms_impl``: ``"scan"`` (XLA fori_loop), ``"pallas"`` (fused TPU
+    kernel), or ``"iterative"`` (fixed-point matvec form — vmappable, the
+    fast batched path). Default: ``"pallas"`` if ``use_pallas`` else
+    ``"scan"``. All three produce identical keep masks.
+    """
+    impl = nms_impl or ("pallas" if use_pallas else "scan")
     if scores_are_logits:
         raw = jnp.max(cls_prob, axis=-1)
         labels = jnp.argmax(cls_prob, axis=-1).astype(jnp.int32)
@@ -84,7 +89,7 @@ def detect_single(
         return _finish_detection(
             cand_scores, cand_labels, idx, regression, anchors,
             height, width, score_thresh, iou_thresh, max_detections,
-            use_pallas, bbox_std,
+            impl, bbox_std,
         )
 
     scores = jnp.max(cls_prob, axis=-1)
@@ -96,13 +101,23 @@ def detect_single(
     return _finish_detection(
         cand_scores, cand_labels, idx, regression, anchors,
         height, width, score_thresh, iou_thresh, max_detections,
-        use_pallas, bbox_std,
+        impl, bbox_std,
     )
+
+
+def _run_nms(boxes, scores, iou_thresh, impl):
+    if impl == "pallas":
+        from .nms_pallas import nms_pallas
+
+        return nms_pallas(boxes, scores, iou_thresh)
+    if impl == "iterative":
+        return nms_iterative(boxes, scores, iou_thresh)
+    return nms_padded(boxes, scores, iou_thresh)
 
 
 def _finish_detection(cand_scores, cand_labels, idx, regression, anchors,
                       height, width, score_thresh, iou_thresh,
-                      max_detections, use_pallas, bbox_std) -> Detections:
+                      max_detections, impl, bbox_std) -> Detections:
     from .boxes import clip_boxes, decode_boxes
 
     cand_deltas = jnp.take(regression, idx, axis=0).astype(jnp.float32)
@@ -113,12 +128,7 @@ def _finish_detection(cand_scores, cand_labels, idx, regression, anchors,
 
     span = jnp.max(cand_boxes) + 1.0
     offset = cand_labels.astype(cand_boxes.dtype)[:, None] * span
-    if use_pallas:
-        from .nms_pallas import nms_pallas
-
-        keep = nms_pallas(cand_boxes + offset, cand_scores, iou_thresh)
-    else:
-        keep = nms_padded(cand_boxes + offset, cand_scores, iou_thresh)
+    keep = _run_nms(cand_boxes + offset, cand_scores, iou_thresh, impl)
 
     kept_scores = jnp.where(keep, cand_scores, 0.0)
     d = min(max_detections, kept_scores.shape[0])
@@ -144,15 +154,22 @@ def detect_batch(
     max_detections: int = 300,
     use_pallas: bool = False,
     scores_are_logits: bool = False,
+    nms_impl: str | None = None,
 ) -> Detections:
-    """Batch of :func:`detect_single` (unrolled for the Pallas path)."""
+    """Batch of :func:`detect_single`.
+
+    ``"scan"``/``"iterative"`` vmap (iterative turns the per-image matvec
+    into one (B,k)x(k,k) batched matmul per fixed-point step — the fast
+    batched path); ``"pallas"`` unrolls over the batch at trace time
+    (vmap-of-pallas_call stalls the remote Mosaic compiler)."""
+    impl = nms_impl or ("pallas" if use_pallas else "scan")
     fn = lambda p, r: detect_single(
         p, r, anchors, height=height, width=width,
         score_thresh=score_thresh, iou_thresh=iou_thresh,
         pre_nms_topk=pre_nms_topk, max_detections=max_detections,
-        use_pallas=use_pallas, scores_are_logits=scores_are_logits,
+        nms_impl=impl, scores_are_logits=scores_are_logits,
     )
-    if not use_pallas:
+    if impl != "pallas":
         return jax.vmap(fn)(cls_prob, regression)
     dets = [fn(cls_prob[i], regression[i]) for i in range(cls_prob.shape[0])]
     return Detections(
@@ -195,6 +212,58 @@ def nms_padded(
     return jax.lax.fori_loop(0, k, body, keep0)
 
 
+def nms_iterative(
+    boxes: jnp.ndarray,   # (k, 4) sorted by descending score
+    scores: jnp.ndarray,  # (k,)
+    iou_thresh: float,
+) -> jnp.ndarray:
+    """Exact greedy NMS as a fixed-point iteration — batch/MXU friendly.
+
+    Greedy NMS is the unique solution of the acyclic recursion
+    ``keep_i = valid_i ∧ ¬∃ j<i: keep_j ∧ iou(j,i) > t`` (it only refers
+    to earlier boxes). Iterating that recursion jointly over all boxes —
+    ``keep ← valid ∧ ¬(S_lowerᵀ keep > 0)`` with S the strictly-lower
+    suppression matrix — converges to that fixed point in at most
+    depth-of-the-suppression-DAG steps (induction over depth: a box at
+    depth d is stable after d iterations), and typically in < 15. Each
+    step is one (k,k)×(k,) matvec, so the whole NMS is a handful of MXU
+    ops instead of a k-step sequential scan: ~10x the fused scan kernel,
+    and it vmaps over the batch (the scan kernels cannot).
+
+    Bit-identical keep masks to :func:`nms_padded` (the while_loop exits
+    exactly at the fixed point, which is the greedy solution).
+    """
+    k = boxes.shape[0]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = jnp.clip(x2 - x1, 0) * jnp.clip(y2 - y1, 0)
+    iw = jnp.clip(jnp.minimum(x2[:, None], x2[None, :]) - jnp.maximum(x1[:, None], x1[None, :]), 0)
+    ih = jnp.clip(jnp.minimum(y2[:, None], y2[None, :]) - jnp.maximum(y1[:, None], y1[None, :]), 0)
+    inter = iw * ih
+    iou = inter / jnp.clip(areas[:, None] + areas[None, :] - inter, 1e-8)
+
+    order = jnp.arange(k)
+    # supp[i, j]: earlier box i suppresses later box j (when i survives)
+    supp = ((iou > iou_thresh) & (order[:, None] < order[None, :])).astype(
+        jnp.float32
+    )
+    valid = scores > 0.0
+    keep0 = valid
+
+    def cond(carry):
+        prev, cur, it = carry
+        return jnp.logical_and(it < k, jnp.any(prev != cur))
+
+    def body(carry):
+        _, cur, it = carry
+        suppressed = (cur.astype(jnp.float32) @ supp) > 0.0
+        return cur, valid & ~suppressed, it + 1
+
+    # prime with one application so cond sees a (prev, cur) pair
+    first = valid & ~((keep0.astype(jnp.float32) @ supp) > 0.0)
+    _, keep, _ = jax.lax.while_loop(cond, body, (keep0, first, jnp.int32(1)))
+    return keep
+
+
 def single_image_nms(
     boxes: jnp.ndarray,     # (A, 4)
     cls_prob: jnp.ndarray,  # (A, C)
@@ -204,26 +273,24 @@ def single_image_nms(
     pre_nms_topk: int = 1000,
     max_detections: int = 300,
     use_pallas: bool = False,
+    nms_impl: str | None = None,
 ) -> Detections:
     """Full post-processing for one image (class-aware, static shapes).
 
     ``use_pallas`` routes the suppression through the fused TPU kernel
-    (ops/nms_pallas.py, ~1.9x the XLA-loop version on v5e at k=1024:
-    0.69 ms vs 1.31 ms, tools/bench_nms.py); requires
-    pre_nms_topk % 256 == 0.
+    (ops/nms_pallas.py; requires pre_nms_topk % 256 == 0). Prefer
+    ``nms_impl="iterative"`` — fastest on v5e at k=1024 (0.95 ms vs
+    1.03 pallas / 1.69 XLA loop, tools/bench_nms.py). See
+    :func:`detect_single` for ``nms_impl``.
     """
+    impl = nms_impl or ("pallas" if use_pallas else "scan")
     cand_boxes, cand_scores, cand_labels = top_k_detections(
         boxes, cls_prob, pre_nms_topk, score_thresh
     )
     # class-offset trick: boxes of different classes can never overlap
     span = jnp.max(cand_boxes) + 1.0
     offset = cand_labels.astype(cand_boxes.dtype)[:, None] * span
-    if use_pallas:
-        from .nms_pallas import nms_pallas
-
-        keep = nms_pallas(cand_boxes + offset, cand_scores, iou_thresh)
-    else:
-        keep = nms_padded(cand_boxes + offset, cand_scores, iou_thresh)
+    keep = _run_nms(cand_boxes + offset, cand_scores, iou_thresh, impl)
 
     kept_scores = jnp.where(keep, cand_scores, 0.0)
     d = min(max_detections, kept_scores.shape[0])
@@ -245,13 +312,15 @@ def batched_nms(
     pre_nms_topk: int = 1000,
     max_detections: int = 300,
     use_pallas: bool = False,
+    nms_impl: str | None = None,
 ) -> Detections:
     """Batch of :func:`single_image_nms`.
 
-    The pure-JAX path vmaps; the Pallas path unrolls over the (small,
+    The pure-JAX paths vmap; the Pallas path unrolls over the (small,
     static) batch at trace time — vmap-of-pallas_call stalls the remote
     Mosaic compiler on this backend, and B sequential kernel launches cost
     the same on-device."""
+    impl = nms_impl or ("pallas" if use_pallas else "scan")
     fn = lambda b, p: single_image_nms(
         b,
         p,
@@ -259,9 +328,9 @@ def batched_nms(
         iou_thresh=iou_thresh,
         pre_nms_topk=pre_nms_topk,
         max_detections=max_detections,
-        use_pallas=use_pallas,
+        nms_impl=impl,
     )
-    if not use_pallas:
+    if impl != "pallas":
         return jax.vmap(fn)(boxes, cls_prob)
     dets = [fn(boxes[i], cls_prob[i]) for i in range(boxes.shape[0])]
     return Detections(

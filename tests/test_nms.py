@@ -113,6 +113,55 @@ def test_detect_single_matches_decode_first(rng):
     np.testing.assert_allclose(np.asarray(old.boxes), np.asarray(new.boxes), atol=1e-4)
 
 
+def test_iterative_matches_scan(rng):
+    """Fixed-point iterative NMS == sequential greedy, single and vmapped."""
+    import jax
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.ops.nms import nms_iterative
+
+    B, n = 4, 128
+    boxes = rng.rand(B, n, 4).astype(np.float32) * 100
+    boxes[..., 2:] = boxes[..., :2] + 5 + rng.rand(B, n, 2).astype(np.float32) * 60
+    scores = rng.rand(B, n).astype(np.float32)
+    scores[:, n // 2:] = 0.0  # padded tail must stay dead
+    order = np.argsort(-scores, axis=1)
+    sboxes = np.take_along_axis(boxes, order[..., None], axis=1)
+    sscores = np.take_along_axis(scores, order, axis=1)
+
+    for b in range(B):
+        got = np.asarray(nms_iterative(jnp.asarray(sboxes[b]), jnp.asarray(sscores[b]), 0.5))
+        want = np.asarray(nms_padded(jnp.asarray(sboxes[b]), jnp.asarray(sscores[b]), 0.5))
+        np.testing.assert_array_equal(got, want)
+
+    batched = np.asarray(
+        jax.vmap(lambda bx, sc: nms_iterative(bx, sc, 0.5))(
+            jnp.asarray(sboxes), jnp.asarray(sscores)
+        )
+    )
+    for b in range(B):
+        want = np.asarray(nms_padded(jnp.asarray(sboxes[b]), jnp.asarray(sscores[b]), 0.5))
+        np.testing.assert_array_equal(batched[b], want)
+
+
+def test_detect_batch_iterative_matches_scan(rng):
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.ops.anchors import anchors_for_shape
+    from cl_object_detection_tpu.ops.nms import detect_batch
+
+    anchors = jnp.asarray(anchors_for_shape(64, 64))
+    A, B, C = anchors.shape[0], 3, 4
+    prob = (rng.rand(B, A, C) ** 3).astype(np.float32)
+    reg = (rng.randn(B, A, 4) * 0.3).astype(np.float32)
+    kw = dict(height=64, width=64, pre_nms_topk=256, max_detections=50)
+    a = detect_batch(jnp.asarray(prob), jnp.asarray(reg), anchors, nms_impl="scan", **kw)
+    b = detect_batch(jnp.asarray(prob), jnp.asarray(reg), anchors, nms_impl="iterative", **kw)
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.labels), np.asarray(b.labels))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+
+
 def test_logits_path_matches_prob_path(rng):
     """scores_are_logits: selection on logits == selection on sigmoid(probs)."""
     import jax.numpy as jnp

@@ -26,7 +26,7 @@ def bench(kind: str, k: int, iters: int) -> float:
     import jax
     import jax.numpy as jnp
 
-    from cl_object_detection_tpu.ops.nms import nms_padded
+    from cl_object_detection_tpu.ops.nms import nms_iterative, nms_padded
     from cl_object_detection_tpu.ops.nms_pallas import nms_pallas
 
     rng = np.random.RandomState(0)
@@ -37,7 +37,11 @@ def bench(kind: str, k: int, iters: int) -> float:
     boxes = jnp.asarray(np.clip(boxes, 0, [1024, 640, 1024, 640]), jnp.float32)
     scores = jnp.asarray(np.sort(rng.rand(k))[::-1].copy(), jnp.float32)
 
-    fn = nms_pallas if kind == "pallas" else nms_padded
+    fn = {
+        "pallas": nms_pallas,
+        "iterative": nms_iterative,
+        "xla_loop": nms_padded,
+    }[kind]
 
     @jax.jit
     def chained(b, s):
@@ -56,15 +60,60 @@ def bench(kind: str, k: int, iters: int) -> float:
     return float(np.median(lat))
 
 
+def bench_batched(kind: str, k: int, batch: int, iters: int) -> float:
+    """Per-BATCH latency of the suppression stage over B images at once
+    (the eval-loop shape; the iterative form turns this into one
+    (B,k)x(k,k) matmul per fixed-point step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.ops.nms import nms_iterative, nms_padded
+    from cl_object_detection_tpu.ops.nms_pallas import nms_pallas
+
+    rng = np.random.RandomState(0)
+    centers = rng.rand(batch, k, 2) * [1024, 640]
+    sizes = 32 + rng.rand(batch, k, 2) * 200
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], axis=2)
+    boxes = jnp.asarray(np.clip(boxes, 0, [1024, 640, 1024, 640]), jnp.float32)
+    scores = jnp.asarray(
+        np.sort(rng.rand(batch, k), axis=1)[:, ::-1].copy(), jnp.float32
+    )
+
+    if kind == "pallas":
+        def fn(b, s):  # trace-time unroll (vmap-of-pallas stalls Mosaic)
+            return jnp.stack([nms_pallas(b[i], s[i], 0.5) for i in range(batch)])
+    else:
+        inner = nms_iterative if kind == "iterative" else nms_padded
+        fn = jax.vmap(lambda b, s: inner(b, s, 0.5))
+
+    @jax.jit
+    def chained(b, s):
+        def body(i, acc):
+            keep = fn(b + acc * 1e-9, s, )
+            return acc + jnp.sum(keep.astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    float(chained(boxes, scores))
+    lat = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(chained(boxes, scores))
+        lat.append((time.perf_counter() - t0) / iters)
+    return float(np.median(lat))
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--k", type=int, default=1024)
+    p.add_argument("--batch", type=int, default=16)
     p.add_argument("--iters", type=int, default=50)
     args = p.parse_args()
 
     import jax
 
-    kinds = ["pallas", "xla_loop"] if jax.default_backend() != "cpu" else ["xla_loop"]
+    on_tpu = jax.default_backend() != "cpu"
+    kinds = ["pallas", "iterative", "xla_loop"] if on_tpu else ["iterative", "xla_loop"]
     for kind in kinds:
         ms = bench(kind, args.k, args.iters) * 1e3
         print(
@@ -73,6 +122,18 @@ def main():
                     "metric": f"nms_p50_latency_{kind}_k{args.k}",
                     "value": round(ms, 3),
                     "unit": "ms",
+                }
+            ),
+            flush=True,
+        )
+    for kind in kinds:
+        ms = bench_batched(kind, args.k, args.batch, args.iters) * 1e3
+        print(
+            json.dumps(
+                {
+                    "metric": f"nms_batched_latency_{kind}_k{args.k}_b{args.batch}",
+                    "value": round(ms, 3),
+                    "unit": "ms/batch",
                 }
             ),
             flush=True,
