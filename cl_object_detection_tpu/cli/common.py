@@ -95,7 +95,8 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--scheduler_decay", type=float, default=0.1)
     # model/data
     p.add_argument("--depth", type=int, default=50)
-    p.add_argument("--pretrained", default=None, help="converted backbone npz/pt")
+    p.add_argument("--pretrained", default=None,
+                   help="converted backbone npz/pt ('none'/'false' = scratch)")
     p.add_argument("--remat", type=str2bool, default=False,
                    help="rematerialize backbone blocks (bigger batches)")
     p.add_argument("--batch_size", type=int, default=4)
@@ -135,7 +136,12 @@ def args_to_config(a: argparse.Namespace) -> TrainConfig:
             warm_stage=1, warm_epoch=(10**6,), warm_layers=("output",)
         )
     return TrainConfig(
-        model=ModelConfig(depth=a.depth, pretrained=a.pretrained, remat=a.remat),
+        model=ModelConfig(
+            depth=a.depth,
+            pretrained=(None if str(a.pretrained).lower() in ("none", "false", "")
+                        else a.pretrained),
+            remat=a.remat,
+        ),
         focal=FocalConfig(alpha=a.alpha, gamma=a.gamma),
         data=DataConfig(
             root_dir=a.root_dir,

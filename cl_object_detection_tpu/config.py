@@ -284,6 +284,9 @@ class TrainConfig:
     save_every: int = 1                # checkpoint every N epochs (+ final);
                                        # saving pulls ~0.5GB through the
                                        # device tunnel, a real cost per epoch
+    async_checkpoint: bool = True      # snapshot on-device, pull + write in
+                                       # a background thread (atomic rename)
+                                       # so the train loop never stalls
     record: bool = True                # TensorBoard recording
     description: str = "None"
     debug: bool = False

@@ -173,6 +173,10 @@ def train_process(trainer: ILTrainer, recorder: Optional[Recorder] = None,
             trainer.next_state()
             recorder.next_state()
 
+    # drain any in-flight async checkpoint before returning — a daemon
+    # writer must not be killed mid-write at interpreter exit
+    trainer.ckpt.wait()
+
 
 def _final_correction(trainer: ILTrainer, max_rounds: int = 20) -> None:
     """Re-run replay passes until the enhance_error term is clean

@@ -713,7 +713,10 @@ class ILTrainer:
                 "alphas": np.asarray(self.bic.params.alphas).tolist(),
                 "betas": np.asarray(self.bic.params.betas).tolist(),
             }
-        self.ckpt.save(self.cur_state, epoch, self.train_state, il_meta)
+        self.ckpt.save(
+            self.cur_state, epoch, self.train_state, il_meta,
+            async_save=getattr(self.cfg, "async_checkpoint", False),
+        )
 
     def resume(self, state: int, epoch: int = -1) -> int:
         """Restore params + optimizer state (the reference restores

@@ -18,6 +18,7 @@ import json
 import os
 import re
 import shutil
+import threading
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -38,6 +39,8 @@ class CheckpointManager:
         self.root = os.path.abspath(root)
         self.scenario_dir = os.path.join(self.root, scenario_tag(scenario))
         self.keep_every = keep_every
+        self._pending: Optional[threading.Thread] = None
+        self._pending_error: Optional[BaseException] = None
         os.makedirs(self.scenario_dir, exist_ok=True)
 
     # ------------------------------------------------------------------
@@ -50,6 +53,7 @@ class CheckpointManager:
         return os.path.join(self.state_dir(state), f"epoch{epoch}")
 
     def epochs(self, state: int) -> List[int]:
+        self.wait()
         d = self.state_dir(state)
         out = []
         for name in os.listdir(d):
@@ -63,32 +67,81 @@ class CheckpointManager:
         return eps[-1] if eps else None
 
     # ------------------------------------------------------------------
+    def wait(self) -> None:
+        """Block until any in-flight async save has finished (and re-raise
+        its error, if it failed)."""
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
+        if self._pending_error is not None:
+            err, self._pending_error = self._pending_error, None
+            raise err
+
     def save(
         self,
         state: int,
         epoch: int,
         train_state,
         il_meta: Optional[Dict[str, Any]] = None,
+        async_save: bool = False,
     ) -> str:
+        """Persist one (state, epoch) checkpoint.
+
+        ``async_save``: device->host of the full tree costs ~60 s through
+        the remote-PJRT tunnel and would stall the train loop. Instead:
+        snapshot on-device (cheap HBM copy — safe even though the train
+        step donates its input state), then pull + write in a background
+        thread into a hidden temp dir that is atomically renamed on
+        completion, so readers (epochs/restore/auto_delete, which all
+        ``wait()`` first) never see a partial checkpoint. At most one
+        save is in flight; a second save joins the first.
+        """
+        self.wait()
         path = self.epoch_dir(state, epoch)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        ckptr = ocp.PyTreeCheckpointer()
         tree = {
             "params": train_state.params,
             "batch_stats": train_state.batch_stats,
             "opt_state": train_state.opt_state,
             "step": train_state.step,
         }
-        ckptr.save(path, jax.tree.map(np.asarray, tree))
-        if il_meta is not None:
-            with open(os.path.join(path, "il_meta.json"), "w") as f:
-                json.dump(il_meta, f, indent=2, default=_jsonable)
+        if not async_save:
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            ocp.PyTreeCheckpointer().save(path, jax.tree.map(np.asarray, tree))
+            if il_meta is not None:
+                with open(os.path.join(path, "il_meta.json"), "w") as f:
+                    json.dump(il_meta, f, indent=2, default=_jsonable)
+            return path
+
+        import jax.numpy as jnp
+
+        snap = jax.tree.map(
+            lambda x: jnp.array(x) if isinstance(x, jax.Array) else x, tree
+        )
+        tmp = os.path.join(self.state_dir(state), f".tmp_epoch{epoch}")
+
+        def work():
+            try:
+                for p in (tmp, path):
+                    if os.path.exists(p):
+                        shutil.rmtree(p)
+                ocp.PyTreeCheckpointer().save(tmp, jax.tree.map(np.asarray, snap))
+                if il_meta is not None:
+                    with open(os.path.join(tmp, "il_meta.json"), "w") as f:
+                        json.dump(il_meta, f, indent=2, default=_jsonable)
+                os.rename(tmp, path)
+            except BaseException as e:  # surfaced by the next wait()
+                self._pending_error = e
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        self._pending = threading.Thread(target=work, daemon=True)
+        self._pending.start()
         return path
 
     def restore(self, state: int, epoch: int = -1, target=None):
         """epoch=-1 locates the newest (reference params.py:245-248).
         Returns (tree, il_meta)."""
+        self.wait()
         if epoch == -1:
             epoch = self.latest_epoch(state)
             if epoch is None:

@@ -42,6 +42,22 @@ def test_latest_and_retention(tmp_path, state):
     assert tree is not None
 
 
+def test_async_roundtrip(tmp_path, state):
+    """async_save: background write + atomic rename; readers wait()."""
+    mgr = CheckpointManager(str(tmp_path), ("10", "10"))
+    mgr.save(0, 1, state, il_meta={"epoch": 1}, async_save=True)
+    mgr.save(0, 2, state, il_meta={"epoch": 2}, async_save=True)  # joins #1
+    assert mgr.epochs(0) == [1, 2]          # epochs() drains the writer
+    tree, meta = mgr.restore(0, -1)
+    assert meta["epoch"] == 2
+    for x, y in zip(jax.tree.leaves(state.params), jax.tree.leaves(tree["params"])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # no temp dirs left behind
+    import os
+    leftovers = [n for n in os.listdir(mgr.state_dir(0)) if n.startswith(".tmp")]
+    assert leftovers == []
+
+
 def test_sidecars(tmp_path, state):
     mgr = CheckpointManager(str(tmp_path), ("15", "1"))
     mgr.save_sidecar(1, "examplar", [3, 1, 4, 1, 5])

@@ -16,7 +16,6 @@ def run(batch, iters=20):
     model = create_retinanet(ModelConfig(depth=50), num_classes=20)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
     anchors = jnp.asarray(anchors_for_shape(H, W))
-    use_pallas = jax.default_backend() not in ("cpu",)
 
     def predict_sum(images):
         logits, regression = model.apply(variables, images, enable_act=False)
@@ -24,7 +23,7 @@ def run(batch, iters=20):
             logits, regression, anchors, height=H, width=W,
             score_thresh=pcfg.score_thresh, iou_thresh=pcfg.nms_iou,
             pre_nms_topk=pcfg.pre_nms_topk,
-            max_detections=pcfg.max_detections, use_pallas=use_pallas,
+            max_detections=pcfg.max_detections, nms_impl=pcfg.nms_impl,
             scores_are_logits=True,
         )
         return jnp.sum(det.scores)
