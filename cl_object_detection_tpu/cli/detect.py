@@ -51,6 +51,13 @@ def main(argv=None):
     parser.add_argument("--depth", type=int, default=50)
     parser.add_argument("--score_thresh", type=float, default=0.5)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--torch_ckpt", default=None,
+                        help="a REFERENCE-trained .pt checkpoint (or its "
+                             ".npz conversion) to run instead of an Orbax "
+                             "checkpoint tree")
+    parser.add_argument("--num_classes", type=int, default=None,
+                        help="class count for --torch_ckpt (default: "
+                             "len(class list))")
     a = parser.parse_args(argv)
 
     import jax
@@ -69,14 +76,23 @@ def main(argv=None):
     from ..utils.checkpoint import CheckpointManager
 
     class_names = load_class_list(a.class_list, a.train_json)
-    ckpt = CheckpointManager(os.path.join(a.root_dir, "checkpoint"), a.scenario)
-    tree, il_meta = ckpt.restore(a.state, a.epoch)
-    num_classes = il_meta["num_classes"] if il_meta else len(class_names)
-    model = create_retinanet(ModelConfig(depth=a.depth), num_classes)
-    variables = {
-        "params": jax.tree.map(jnp.asarray, tree["params"]),
-        "batch_stats": jax.tree.map(jnp.asarray, tree["batch_stats"]),
-    }
+    if a.torch_ckpt:
+        from ..models.convert import load_reference_checkpoint
+
+        num_classes = a.num_classes or len(class_names)
+        model = create_retinanet(ModelConfig(depth=a.depth), num_classes)
+        init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        variables = load_reference_checkpoint(init, a.torch_ckpt)
+    else:
+        ckpt = CheckpointManager(
+            os.path.join(a.root_dir, "checkpoint"), a.scenario)
+        tree, il_meta = ckpt.restore(a.state, a.epoch)
+        num_classes = il_meta["num_classes"] if il_meta else len(class_names)
+        model = create_retinanet(ModelConfig(depth=a.depth), num_classes)
+        variables = {
+            "params": jax.tree.map(jnp.asarray, tree["params"]),
+            "batch_stats": jax.tree.map(jnp.asarray, tree["batch_stats"]),
+        }
     predict = make_predict_fn(model, PredictConfig())
     dcfg = DataConfig()
 

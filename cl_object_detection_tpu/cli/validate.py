@@ -30,6 +30,10 @@ def get_parser():
     parser.add_argument("--just_val", type=str2bool, default=False)
     parser.add_argument("--ignore_other_img", type=str2bool, default=False)
     parser.add_argument("--save_upper_bound", type=str2bool, default=False)
+    parser.add_argument("--torch_ckpt", default=None,
+                        help="evaluate a REFERENCE-trained .pt checkpoint "
+                             "(or its .npz conversion) instead of an Orbax "
+                             "checkpoint tree")
     return parser
 
 
@@ -86,11 +90,20 @@ def run_validation(a, state: Optional[int] = None, epochs: Optional[List[int]] =
             with open(json_out) as f:
                 rows = json.load(f)
         else:
-            tree, _ = ckpt.restore(state, epoch)
-            variables = {
-                "params": jnp_tree(tree["params"]),
-                "batch_stats": jnp_tree(tree["batch_stats"]),
-            }
+            if getattr(a, "torch_ckpt", None):
+                import jax
+
+                from ..models.convert import load_reference_checkpoint
+
+                init = model.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+                variables = load_reference_checkpoint(init, a.torch_ckpt)
+            else:
+                tree, _ = ckpt.restore(state, epoch)
+                variables = {
+                    "params": jnp_tree(tree["params"]),
+                    "batch_stats": jnp_tree(tree["batch_stats"]),
+                }
             rows = evaluator.predict_dataset(model, variables, progress=True)
             with open(json_out, "w") as f:
                 json.dump(rows, f)

@@ -131,3 +131,129 @@ def load_pretrained_backbone(variables: Dict, path: str) -> Dict:
         loaded += 1
     print(f"pretrained backbone: loaded {loaded} tensors, skipped {skipped}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Full-model import: a checkpoint TRAINED WITH THE REFERENCE -> this framework.
+#
+# The reference saves ``{'model_state_dict': ...}`` dicts per epoch
+# (/root/reference/preprocessing/params.py:307-322) over its composite
+# ``ResNet`` module whose submodules are named ``conv1/bn1/layer{1..4}``
+# (model.py:281-288), ``fpn.P{3,4,5}_{1,2}/P6/P7_2`` (model.py:50-68),
+# ``regressionModel.conv{1..4}/output`` (model.py:98-110) and
+# ``classificationModel.conv{1..4}/output`` (model.py:141-153).  Both
+# frameworks use the anchor-major output-channel layout (channel = a*C + c,
+# model.py:196-200 == heads.py), so output convs copy through directly and a
+# reference user can evaluate / keep incrementally training their existing
+# checkpoints here.
+
+_FPN_KEY_MAP = {
+    "P5_1": "p5_lateral", "P5_2": "p5_smooth",
+    "P4_1": "p4_lateral", "P4_2": "p4_smooth",
+    "P3_1": "p3_lateral", "P3_2": "p3_smooth",
+    "P6": "p6", "P7_2": "p7",
+}
+
+
+def _map_full_key(torch_key: str) -> Tuple[Tuple[str, ...], str, str]:
+    """Reference composite-model key -> (flax path, param name, collection)."""
+    parts = torch_key.split(".")
+    if parts[0] == "fpn":
+        sub = _FPN_KEY_MAP[parts[1]]          # KeyError for P5_upsampled etc.
+        pname = "kernel" if parts[2] == "weight" else "bias"
+        return ("fpn", sub), pname, "params"
+    if parts[0] in ("regressionModel", "classificationModel"):
+        head = ("regression_head" if parts[0] == "regressionModel"
+                else "classification_head")
+        if not (parts[1].startswith("conv") or parts[1] == "output"):
+            raise KeyError(torch_key)
+        pname = "kernel" if parts[2] == "weight" else "bias"
+        return (head, parts[1]), pname, "params"
+    path, pname, coll = _map_key(torch_key)   # backbone naming is shared
+    return ("backbone",) + path, pname, coll
+
+
+def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch ``.pt``/``.pth`` (optionally a reference checkpoint dict
+    holding ``model_state_dict``) or a flat ``.npz``."""
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(raw, dict) and "model_state_dict" in raw:
+        raw = raw["model_state_dict"]          # params.py:307-322 layout
+    if hasattr(raw, "state_dict"):
+        raw = raw.state_dict()
+    return {k: v.numpy() for k, v in raw.items()}
+
+
+def load_reference_checkpoint(
+    variables: Dict, path: str, strict: bool = True
+) -> Dict:
+    """Merge a reference-trained full-model checkpoint into flax variables.
+
+    ``strict`` requires every OUR-side param leaf (and BN stat) to be
+    covered by the checkpoint — the right default for "switch framework
+    mid-experiment"; set False for partial/foreign state dicts.
+    """
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    sd = _load_state_dict(path)
+    out = copy.deepcopy(
+        {"params": dict(variables["params"]),
+         "batch_stats": dict(variables["batch_stats"])}
+    )
+    loaded, skipped = 0, []
+    touched = set()
+    for key, value in sd.items():
+        if "num_batches_tracked" in key:
+            continue
+        try:
+            path_parts, pname, collection = _map_full_key(key)
+        except KeyError:
+            skipped.append(key)
+            continue
+        node = out[collection]
+        trail = [node]
+        ok = True
+        for p in path_parts:
+            if p not in trail[-1]:
+                ok = False
+                break
+            trail.append(trail[-1][p])
+        if not ok or pname not in trail[-1]:
+            skipped.append(key)
+            continue
+        arr = np.asarray(value)
+        if arr.ndim == 4:
+            arr = arr.transpose(2, 3, 1, 0)   # OIHW -> HWIO
+        if trail[-1][pname].shape != arr.shape:
+            raise ValueError(
+                f"shape mismatch for {key}: checkpoint {arr.shape} vs "
+                f"model {trail[-1][pname].shape} — wrong depth/num_classes?"
+            )
+        trail[-1][pname] = jnp.asarray(arr, jnp.asarray(trail[-1][pname]).dtype)
+        touched.add((collection,) + path_parts + (pname,))
+        loaded += 1
+
+    if strict:
+        missing = []
+        for coll in ("params", "batch_stats"):
+            flat = jax.tree_util.tree_flatten_with_path(out[coll])[0]
+            for kp, _ in flat:
+                parts = tuple(getattr(k, "key", str(k)) for k in kp)
+                if (coll,) + parts not in touched:
+                    missing.append(".".join((coll,) + parts))
+        if missing:
+            raise ValueError(
+                f"reference checkpoint left {len(missing)} leaves "
+                f"uninitialized (e.g. {missing[:4]}); pass strict=False "
+                "to allow a partial load"
+            )
+    print(f"reference checkpoint: loaded {loaded} tensors, "
+          f"skipped {len(skipped)}")
+    return out

@@ -55,3 +55,131 @@ def test_load_pretrained_backbone(tmp_path):
     # the model still runs with merged weights
     cls, reg = model.apply(out, jnp.zeros((1, 64, 64, 3)))
     assert np.isfinite(np.asarray(cls)).all()
+
+
+# ---------------------------------------------------------------------------
+# Full-model reference-checkpoint import (models.convert.load_reference_checkpoint)
+
+_FPN_REV = {
+    "p5_lateral": "P5_1", "p5_smooth": "P5_2",
+    "p4_lateral": "P4_1", "p4_smooth": "P4_2",
+    "p3_lateral": "P3_1", "p3_smooth": "P3_2",
+    "p6": "P6", "p7": "P7_2",
+}
+
+
+def _flax_path_to_torch_key(coll, parts):
+    """Reverse of convert._map_full_key, used to synthesize a state dict
+    with the reference's exact key names covering EVERY leaf."""
+    if parts[0] == "backbone":
+        rest = parts[1:]
+        if rest[0] == "conv1":
+            return "conv1.weight"
+        if rest[0] == "bn1":
+            pname = rest[-1]
+        if rest[0].startswith("layer"):
+            stage, block = rest[0].split("_")
+            prefix = f"{stage}.{block}"
+            sub, pname = rest[1], rest[-1]
+            if sub.startswith("conv"):
+                return f"{prefix}.{sub}.weight"
+            if sub == "downsample_conv":
+                return f"{prefix}.downsample.0.weight"
+            if sub == "downsample_bn":
+                sub_t = f"{prefix}.downsample.1"
+            else:  # bn1/bn2/bn3
+                sub_t = f"{prefix}.{sub}"
+        else:
+            sub_t = "bn1"
+            pname = rest[-1]
+        bn_name = {"scale": "weight", "bias": "bias",
+                   "mean": "running_mean", "var": "running_var"}[pname]
+        return f"{sub_t}.{bn_name}"
+    if parts[0] == "fpn":
+        pname = "weight" if parts[-1] == "kernel" else "bias"
+        return f"fpn.{_FPN_REV[parts[1]]}.{pname}"
+    head = ("regressionModel" if parts[0] == "regression_head"
+            else "classificationModel")
+    pname = "weight" if parts[-1] == "kernel" else "bias"
+    return f"{head}.{parts[1]}.{pname}"
+
+
+def test_load_reference_checkpoint_full_coverage(tmp_path):
+    import jax.tree_util as jtu
+
+    from cl_object_detection_tpu.models.convert import load_reference_checkpoint
+
+    model = create_retinanet(ModelConfig(depth=18, compute_dtype="float32"), 3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    rng = np.random.RandomState(1)
+    sd = {}
+    expect = {}   # flax path string -> expected array (flax layout)
+    for coll in ("params", "batch_stats"):
+        for kp, leaf in jtu.tree_flatten_with_path(variables[coll])[0]:
+            parts = tuple(getattr(k, "key", str(k)) for k in kp)
+            tk = _flax_path_to_torch_key(coll, parts)
+            val = rng.randn(*leaf.shape).astype(np.float32)
+            if parts[-1] == "var":   # BN running_var must be positive
+                val = np.abs(val) + 0.1
+            if val.ndim == 4:   # store as torch OIHW
+                sd[tk] = val.transpose(3, 2, 0, 1)
+            else:
+                sd[tk] = val
+            expect[coll + "/" + "/".join(parts)] = val
+    sd["conv1.num_batches_tracked"] = np.array(7)   # must be ignored
+    npz = str(tmp_path / "ref_full.npz")
+    np.savez(npz, **sd)
+
+    out = load_reference_checkpoint(variables, npz, strict=True)
+    for coll in ("params", "batch_stats"):
+        for kp, leaf in jtu.tree_flatten_with_path(out[coll])[0]:
+            parts = tuple(getattr(k, "key", str(k)) for k in kp)
+            np.testing.assert_allclose(
+                np.asarray(leaf), expect[coll + "/" + "/".join(parts)],
+                err_msg=coll + "/" + "/".join(parts))
+
+    # model runs with the imported weights
+    cls, reg = model.apply(out, jnp.zeros((1, 64, 64, 3)))
+    assert np.isfinite(np.asarray(cls)).all()
+
+    # strict load rejects an incomplete checkpoint
+    sd.pop("regressionModel.output.bias")
+    np.savez(str(tmp_path / "partial.npz"), **sd)
+    import pytest
+    with pytest.raises(ValueError, match="uninitialized"):
+        load_reference_checkpoint(variables, str(tmp_path / "partial.npz"))
+    # ...but permissive load accepts it
+    out2 = load_reference_checkpoint(
+        variables, str(tmp_path / "partial.npz"), strict=False)
+    assert out2 is not None
+
+
+def test_load_reference_checkpoint_torch_pt(tmp_path):
+    """The reference's actual artifact: torch.save({'model_state_dict': ...})."""
+    torch = pytest.importorskip("torch")
+
+    from cl_object_detection_tpu.models.convert import load_reference_checkpoint
+
+    model = create_retinanet(ModelConfig(depth=18, compute_dtype="float32"), 3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    rng = np.random.RandomState(2)
+    sd = {}
+    import jax.tree_util as jtu
+    for coll in ("params", "batch_stats"):
+        for kp, leaf in jtu.tree_flatten_with_path(variables[coll])[0]:
+            parts = tuple(getattr(k, "key", str(k)) for k in kp)
+            tk = _flax_path_to_torch_key(coll, parts)
+            val = rng.randn(*leaf.shape).astype(np.float32)
+            sd[tk] = torch.from_numpy(
+                val.transpose(3, 2, 0, 1) if val.ndim == 4 else val)
+    pt = str(tmp_path / "voc2007_checkpoint_10.pt")
+    torch.save({"epoch": 10, "model_state_dict": sd}, pt)
+    out = load_reference_checkpoint(variables, pt, strict=True)
+    k = np.asarray(out["params"]["fpn"]["p6"]["kernel"])
+    np.testing.assert_allclose(
+        k, sd["fpn.P6.weight"].numpy().transpose(2, 3, 1, 0))
+
+
+import pytest  # noqa: E402  (used above)
