@@ -20,7 +20,7 @@ from ..data.dataset import ILDataset
 from ..data.loader import BatchLoader
 from ..states import ILStates
 from .coco_eval import CocoProtocolEval, EvalResult
-from .predictor import detections_to_coco, make_predict_fn
+from .predictor import detections_to_coco, make_predict_fn, make_sharded_predict_fn
 
 
 class Evaluator:
@@ -53,10 +53,18 @@ class Evaluator:
         self.label_to_cat = states.inverse_label_map()
 
     # ------------------------------------------------------------------
-    def predict_dataset(self, model, variables, progress: bool = False) -> List[dict]:
+    def predict_dataset(self, model, variables, progress: bool = False,
+                        mesh=None) -> List[dict]:
         """Run batched inference over the whole split; returns COCO result
-        rows (deduped — the static loader wraps short batches)."""
-        predict = make_predict_fn(model, self.predict_cfg)
+        rows (deduped — the static loader wraps short batches).
+
+        ``mesh``: optional device mesh — shards each batch over the
+        ``data`` axis for multi-chip DP eval (the batch size must be a
+        multiple of the data-axis size; same results, N-chip rate)."""
+        if mesh is not None:
+            predict = make_sharded_predict_fn(model, self.predict_cfg, mesh)
+        else:
+            predict = make_predict_fn(model, self.predict_cfg)
         seen: set = set()
         results: List[dict] = []
         it = self.loader

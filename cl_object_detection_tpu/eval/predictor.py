@@ -98,3 +98,34 @@ def detections_to_coco(
                 }
             )
     return out
+
+
+def make_sharded_predict_fn(
+    model,
+    predict_cfg: PredictConfig,
+    mesh,
+    bic_correct=None,
+):
+    """Data-parallel :func:`make_predict_fn` over a device mesh.
+
+    Variables replicate; the image batch shards over the mesh's ``data``
+    axis (batch size must be a multiple of the data-axis size) and each
+    chip runs the full forward + decode + NMS on its shard — detection
+    post-processing is per-image, so DP eval is embarrassingly parallel
+    and XLA inserts no cross-chip collectives. This is the v5e-8
+    ">= 2000 img/s" BASELINE path (8 x the single-chip rate; the
+    reference instead thread-pools batch-size-1 predictions on one GPU,
+    evaluator.py:383-426).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    base = make_predict_fn(model, predict_cfg, bic_correct)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    def predict(variables, images):
+        variables = jax.device_put(variables, repl)
+        images = jax.device_put(images, data)
+        return base(variables, images)
+
+    return predict

@@ -113,3 +113,30 @@ def test_global_batch_from_local_single_process():
     for k in batch:
         assert a[k].sharding.is_equivalent_to(b[k].sharding, a[k].ndim)
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_sharded_predict_matches_single_device():
+    """DP eval over the mesh == plain jit eval, detection for detection."""
+    from cl_object_detection_tpu.config import ModelConfig, PredictConfig
+    from cl_object_detection_tpu.eval.predictor import (
+        make_predict_fn,
+        make_sharded_predict_fn,
+    )
+
+    mesh = create_mesh(MeshConfig())
+    model = create_retinanet(ModelConfig(depth=18, compute_dtype="float32"), 4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(8, 64, 64, 3).astype(np.float32))
+    cfg = PredictConfig(pre_nms_topk=256, nms_impl="iterative")
+
+    ref = make_predict_fn(model, cfg)(variables, images)
+    out = make_sharded_predict_fn(model, cfg, mesh)(variables, images)
+
+    np.testing.assert_allclose(np.asarray(ref.scores), np.asarray(out.scores),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref.boxes), np.asarray(out.boxes),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(out.valid))
+    # the batch axis is actually sharded over 'data'
+    assert "data" in str(out.scores.sharding.spec)

@@ -4,7 +4,7 @@ Experiment tool for finding where the per-image milliseconds go at the
 headline bench shape (640x1024, batch 16). Same chained-fori_loop timing
 discipline as bench.py (axon tunnel returns early from block_until_ready).
 
-Usage: python tools/bench_split.py [mode ...]   modes: fwd, det, full
+Usage: python tools/bench_split.py [--batch N] [mode ...]   modes: fwd, det, full
 """
 import json, sys, time
 
@@ -87,5 +87,10 @@ def run(mode, batch=16, iters=20):
     }
 
 
-for m in sys.argv[1:] or ["fwd", "det", "full"]:
-    print(json.dumps(run(m)), flush=True)
+argv = sys.argv[1:]
+batch = 16
+if argv and argv[0] == "--batch":
+    batch = int(argv[1])
+    argv = argv[2:]
+for m in argv or ["fwd", "det", "full"]:
+    print(json.dumps(run(m, batch=batch)), flush=True)
