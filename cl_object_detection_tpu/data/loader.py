@@ -9,13 +9,19 @@ with a TPU-friendly design:
   * images come out NHWC float32 (XLA:TPU's preferred conv layout), GT is
     padded to ``max_boxes`` with -1 sentinels;
   * a background thread decodes/augments the next batches while the device
-    computes (the reference used 2 DataLoader worker processes,
-    il_trainer.py:127).
+    computes, and ``num_workers`` threads decode the examples of a batch
+    concurrently — cv2/numpy release the GIL, so threads parallelize JPEG
+    decode + resize without process-pool pickling (the reference used 2
+    DataLoader worker processes, il_trainer.py:127);
+  * augmentation randomness is a pure hash of (seed, epoch, image index,
+    batch slot) — identical regardless of worker count or thread
+    scheduling, so resume/replay is exact (SURVEY.md §5).
 """
 from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Sequence
 
@@ -57,6 +63,7 @@ class BatchLoader:
         seed: int = 0,
         is_replay: bool = False,
         prefetch: int = 2,
+        num_workers: Optional[int] = None,
     ):
         self.dataset = dataset
         self.cfg = cfg
@@ -67,6 +74,9 @@ class BatchLoader:
         self.seed = seed
         self.is_replay = is_replay
         self.prefetch = prefetch
+        self.num_workers = (num_workers if num_workers is not None
+                            else getattr(cfg, "num_workers", 0))
+        self._pool: Optional[ThreadPoolExecutor] = None
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -118,8 +128,23 @@ class BatchLoader:
         pboxes, plabels, n = pad_annotations(boxes, labels, cfg.max_boxes)
         return img, pboxes, plabels, n, num_pseudo, scale, ds.image_ids[idx]
 
-    def _assemble(self, group: Sequence[int], rng: np.random.RandomState) -> Batch:
-        ex = [self._make_example(i, rng) for i in group]
+    def _assemble(self, group: Sequence[int], epoch: int) -> Batch:
+        def make(slot_idx):
+            slot, i = slot_idx
+            # pure function of (seed, epoch, image, slot): augmentations do
+            # not depend on worker count or thread interleaving
+            rng = np.random.RandomState(
+                (1000003 * self.seed + 7919 * epoch + 131 * int(i) + slot)
+                % (2 ** 31)
+            )
+            return self._make_example(i, rng)
+
+        if self.num_workers and self.num_workers > 1:
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(self.num_workers)
+            ex = list(self._pool.map(make, enumerate(group)))
+        else:
+            ex = [make(si) for si in enumerate(group)]
         return Batch(
             images=np.stack([e[0] for e in ex]),
             boxes=np.stack([e[1] for e in ex]),
@@ -140,11 +165,11 @@ class BatchLoader:
 
     def __iter__(self) -> Iterator[Batch]:
         batches = self._bucketed_batches()
+        epoch = self._epoch
         self._epoch += 1
-        rng = np.random.RandomState(self.seed + self._epoch + 7919)
         if self.prefetch <= 0:
             for group in batches:
-                yield self._assemble(group, rng)
+                yield self._assemble(group, epoch)
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -153,7 +178,7 @@ class BatchLoader:
         def worker():
             try:
                 for group in batches:
-                    q.put(self._assemble(group, rng))
+                    q.put(self._assemble(group, epoch))
             except BaseException as e:  # surface errors on the consumer side
                 q.put(e)
             finally:

@@ -106,3 +106,26 @@ def test_loader_deterministic_per_epoch(toy):
 
     assert order(4) == order(4)          # same (seed, epoch) -> same order
     assert order(4) != order(5)          # different epoch -> reshuffled
+
+
+def test_loader_worker_count_invariance(toy):
+    """Augmented batches are identical for 0, 1 and 4 decode workers —
+    per-example RNG is a pure hash, not a shared sequential stream."""
+    root, coco, states = toy
+    cfg = DataConfig(batch_size=2, height=256, width=384, max_boxes=10,
+                     min_side=200, max_side=384)
+    ds = ILDataset(coco, states, root + "/images", split="test", start_state=1)
+
+    def epoch_batches(workers):
+        loader = BatchLoader(ds, cfg, shuffle=True, augment=True,
+                             prefetch=0, seed=11, num_workers=workers)
+        loader.set_epoch(2)
+        return list(loader)
+
+    a, b, c = epoch_batches(0), epoch_batches(1), epoch_batches(4)
+    assert len(a) == len(b) == len(c) > 0
+    for x, y in ((a, b), (a, c)):
+        for bx, by in zip(x, y):
+            np.testing.assert_array_equal(bx.image_ids, by.image_ids)
+            np.testing.assert_allclose(bx.images, by.images)
+            np.testing.assert_allclose(bx.boxes, by.boxes)
