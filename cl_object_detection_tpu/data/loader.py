@@ -158,10 +158,15 @@ class BatchLoader:
 
     # ------------------------------------------------------------------
     def __len__(self) -> int:
+        # batches are per-orientation, so count each bucket separately
         n = len(self.dataset)
+        land = sum(
+            1 for i in range(n) if self.dataset.image_aspect_ratio(i) >= 1.0
+        )
+        port = n - land
         if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+            return land // self.batch_size + port // self.batch_size
+        return sum(-(-b // self.batch_size) for b in (land, port) if b)
 
     def __iter__(self) -> Iterator[Batch]:
         batches = self._bucketed_batches()

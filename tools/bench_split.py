@@ -4,7 +4,9 @@ Experiment tool for finding where the per-image milliseconds go at the
 headline bench shape (640x1024, batch 16). Same chained-fori_loop timing
 discipline as bench.py (axon tunnel returns early from block_until_ready).
 
-Usage: python tools/bench_split.py [--batch N] [mode ...]   modes: fwd, det, full
+Usage: python tools/bench_split.py [--batch N] [mode ...]
+modes: fwd, det, full, bb (backbone only), feats (backbone+FPN)
+(heads cost = fwd - feats; FPN cost = feats - bb)
 """
 import json, sys, time
 
@@ -30,6 +32,21 @@ def run(mode, batch=16, iters=20):
         logits, regression = model.apply(variables, images, enable_act=False)
         return jnp.sum(logits[..., 0]) * 1e-6 + jnp.sum(regression) * 1e-9
 
+    def feats_sum(images):
+        feats = model.apply(variables, images, method="forward_features")
+        return sum(jnp.sum(f[..., 0].astype(jnp.float32)) for f in feats) * 1e-6
+
+    if mode == "bb":
+        from cl_object_detection_tpu.models.resnet import ResNetBackbone
+
+        bb = ResNetBackbone(depth=50, dtype=jnp.bfloat16)
+        bvars = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
+
+        def bb_sum(images):
+            c3, c4, c5 = bb.apply(bvars, images)
+            return (jnp.sum(c5[..., 0].astype(jnp.float32)) * 1e-6
+                    + jnp.sum(c3[..., 0].astype(jnp.float32)) * 1e-9)
+
     def full_sum(images):
         logits, regression = model.apply(variables, images, enable_act=False)
         det = detect_batch(
@@ -42,8 +59,9 @@ def run(mode, batch=16, iters=20):
         return jnp.sum(det.scores)
 
     rng = np.random.RandomState(0)
-    if mode in ("fwd", "full"):
-        step = fwd_sum if mode == "fwd" else full_sum
+    if mode in ("fwd", "full", "feats", "bb"):
+        step = {"fwd": fwd_sum, "full": full_sum, "feats": feats_sum,
+                "bb": locals().get("bb_sum")}[mode]
         x0 = jnp.asarray(rng.randn(batch, H, W, 3).astype(np.float32))
 
         @jax.jit
