@@ -244,6 +244,11 @@ class PredictConfig:
                                        # 0.95 ms vs 1.03 pallas / 1.69 loop
                                        # at k=1024; b16 batched 1.5 ms vs
                                        # 3.3 / 3.7) | "pallas" | "scan"
+    topk_method: str = "exact"         # pre-NMS candidate select: "exact"
+                                       # (lax.top_k) | "approx"
+                                       # (lax.approx_max_k, ~6x faster over
+                                       # 123k anchors, >=0.95 recall — tail
+                                       # candidates only; see ops/nms.py)
 
 
 # ---------------------------------------------------------------------------

@@ -64,6 +64,7 @@ def make_predict_fn(
             max_detections=predict_cfg.max_detections,
             nms_impl=nms_impl,
             scores_are_logits=True,
+            topk_method=getattr(predict_cfg, "topk_method", "exact"),
         )
 
     return predict

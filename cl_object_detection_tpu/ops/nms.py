@@ -25,6 +25,20 @@ class Detections(NamedTuple):
     valid: jnp.ndarray    # (D,) bool
 
 
+def _select_topk(scores: jnp.ndarray, k: int, method: str):
+    """Top-k candidate selection: ``"exact"`` (lax.top_k, full sort on TPU)
+    or ``"approx"`` (lax.approx_max_k, TPU PartialReduce — ~6x faster over
+    the ~123k-anchor axis at >=0.95 recall of the exact set; the missed
+    entries are in the far candidate tail, far below NMS survivor scores).
+    The reference has no top-k at all (dynamic score>0.05 filter,
+    model.py:535-538); both methods are static-shape stand-ins for it.
+    """
+    if method == "approx":
+        return jax.lax.approx_max_k(
+            scores.astype(jnp.float32), k, recall_target=0.95)
+    return jax.lax.top_k(scores, k)
+
+
 def top_k_detections(
     boxes: jnp.ndarray,    # (A, 4) decoded + clipped
     cls_prob: jnp.ndarray, # (A, C)
@@ -60,6 +74,7 @@ def detect_single(
     bbox_std=(0.1, 0.1, 0.2, 0.2),
     scores_are_logits: bool = False,
     nms_impl: str | None = None,
+    topk_method: str = "exact",
 ) -> Detections:
     """Fused single-image detection: top-k BEFORE decode.
 
@@ -82,7 +97,7 @@ def detect_single(
         raw = jnp.max(cls_prob, axis=-1)
         labels = jnp.argmax(cls_prob, axis=-1).astype(jnp.int32)
         k = min(pre_nms_topk, raw.shape[0])
-        top_raw, idx = jax.lax.top_k(raw, k)
+        top_raw, idx = _select_topk(raw, k, topk_method)
         cand_scores = jax.nn.sigmoid(top_raw.astype(jnp.float32))
         cand_scores = jnp.where(cand_scores > score_thresh, cand_scores, 0.0)
         cand_labels = jnp.take(labels, idx)
@@ -96,7 +111,7 @@ def detect_single(
     labels = jnp.argmax(cls_prob, axis=-1).astype(jnp.int32)
     scores = jnp.where(scores > score_thresh, scores, 0.0)
     k = min(pre_nms_topk, scores.shape[0])
-    cand_scores, idx = jax.lax.top_k(scores, k)
+    cand_scores, idx = _select_topk(scores, k, topk_method)
     cand_labels = jnp.take(labels, idx)
     return _finish_detection(
         cand_scores, cand_labels, idx, regression, anchors,
@@ -155,6 +170,7 @@ def detect_batch(
     use_pallas: bool = False,
     scores_are_logits: bool = False,
     nms_impl: str | None = None,
+    topk_method: str = "exact",
 ) -> Detections:
     """Batch of :func:`detect_single`.
 
@@ -168,6 +184,7 @@ def detect_batch(
         score_thresh=score_thresh, iou_thresh=iou_thresh,
         pre_nms_topk=pre_nms_topk, max_detections=max_detections,
         nms_impl=impl, scores_are_logits=scores_are_logits,
+        topk_method=topk_method,
     )
     if impl != "pallas":
         return jax.vmap(fn)(cls_prob, regression)

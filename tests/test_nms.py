@@ -184,3 +184,31 @@ def test_logits_path_matches_prob_path(rng):
     np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(a.labels), np.asarray(b.labels))
     np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+
+
+def test_approx_topk_matches_exact_on_survivors(rng):
+    """topk_method="approx" (lax.approx_max_k pre-NMS select) keeps the
+    same high-score NMS survivors as exact top-k: any divergence is
+    confined to the far candidate tail (recall_target=0.95 over the
+    anchor axis). Checks the top-10 final detections agree."""
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.ops.anchors import anchors_for_shape
+    from cl_object_detection_tpu.ops.nms import detect_single
+
+    anchors = jnp.asarray(anchors_for_shape(64, 64))
+    A = anchors.shape[0]
+    logits = (rng.randn(A, 4) * 2 - 2).astype(np.float32)
+    reg = (rng.randn(A, 4) * 0.3).astype(np.float32)
+    kw = dict(height=64, width=64, pre_nms_topk=256, max_detections=50,
+              scores_are_logits=True)
+
+    a = detect_single(jnp.asarray(logits), jnp.asarray(reg), anchors,
+                      topk_method="exact", **kw)
+    b = detect_single(jnp.asarray(logits), jnp.asarray(reg), anchors,
+                      topk_method="approx", **kw)
+    n = 10
+    np.testing.assert_allclose(np.asarray(a.scores[:n]),
+                               np.asarray(b.scores[:n]), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.labels[:n]),
+                                  np.asarray(b.labels[:n]))
