@@ -76,6 +76,9 @@ class DataConfig:
     width: int = 1024                  # canonical padded W (multiple of 128)
     max_boxes: int = 100               # GT padding capacity (-1 sentinel rows)
     hflip_prob: float = 0.5            # Augmenter (dataloader.py:400-421)
+    s2d_stem: bool = False             # emit 2x2 space-to-depth batches
+                                       # (B,H/2,W/2,12) for the phase-packed
+                                       # stem conv (models/resnet.StemConv)
     use_data_ratio: float = 1.0        # truncate train set (dataloader.py:56-60)
     num_workers: int = 2
     prefetch: int = 2

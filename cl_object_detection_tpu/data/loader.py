@@ -29,7 +29,8 @@ import numpy as np
 
 from ..config import DataConfig
 from .dataset import ILDataset
-from .transforms import hflip, normalize_image, pad_annotations, resize_and_pad
+from .transforms import (hflip, normalize_image, pad_annotations,
+                         resize_and_pad, space_to_depth)
 
 
 @dataclass
@@ -145,8 +146,13 @@ class BatchLoader:
             ex = list(self._pool.map(make, enumerate(group)))
         else:
             ex = [make(si) for si in enumerate(group)]
+        images = np.stack([e[0] for e in ex])
+        if self.cfg.s2d_stem:
+            # host-side 2x2 space-to-depth for the phase-packed stem conv
+            # (models.resnet.StemConv); anchors still use the full H, W
+            images = space_to_depth(images)
         return Batch(
-            images=np.stack([e[0] for e in ex]),
+            images=images,
             boxes=np.stack([e[1] for e in ex]),
             labels=np.stack([e[2] for e in ex]),
             num_boxes=np.asarray([e[3] for e in ex], np.int32),

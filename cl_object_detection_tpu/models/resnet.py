@@ -36,6 +36,92 @@ DEPTH_LAYERS = {
 he_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+class StemConv(nn.Module):
+    """The 7x7/2 stem conv; accepts plain RGB or space-to-depth input.
+
+    The parameter keeps the reference layout (7, 7, 3, 64) under
+    ``conv1/kernel`` (torchvision import / expansion untouched). Two
+    input forms:
+
+    * ``(B, H, W, 3)``  — the classic direct conv (model.py:281).
+    * ``(B, H/2, W/2, 12)`` — host space-to-depth input (see
+      data/transforms.space_to_depth): computes the conv **phase-packed**
+      as one 5x5/2 conv with a (5,5,12,256) kernel derived from the same
+      parameter — output channel (a*2+b)*64+o holds conv-output pixel
+      (2i+a, 2j+b, o). The stride-2 cin=3 conv maps terribly onto the
+      MXU; this form trades it for one MXU-friendlier conv and makes the
+      following 3x3/2 max-pool a shift-only max over channel blocks
+      (``phase_pool``), with no strided memory access anywhere.
+
+    Derivation: y[r] = sum_t X[r+t-2, alpha] w'[2t+alpha] on the H/2 grid
+    (w' = k7 zero-padded to 8 taps); phase-packing y4[i,(a,..)] = y[2i+a]
+    gives K5[T,U,(alpha,beta,c),(a,b,o)] = w'[2(T-a)+alpha, 2(U-b)+beta,
+    c, o], a stride-2 5-tap conv with padding (2,1). Bit-equal to the
+    direct form up to dtype rounding (tests/test_model.py).
+    """
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bn_scale=None, bn_bias=None):
+        import jax.lax as lax
+
+        kernel = self.param("kernel", he_fan_out, (7, 7, 3, 64), jnp.float32)
+        dn = ("NHWC", "HWIO", "NHWC")
+        if x.shape[-1] == 3:
+            assert bn_scale is None
+            return lax.conv_general_dilated(
+                x, kernel.astype(self.dtype), (2, 2), [(3, 3), (3, 3)],
+                dimension_numbers=dn)
+        assert x.shape[-1] == 12, x.shape
+        k = kernel
+        if bn_scale is not None:
+            # fold the frozen-BN affine into the conv: bn(conv(x, k)) ==
+            # conv(x, k*scale) + bias (exact — BN stats are constant;
+            # scale/bias stay differentiable wrt the BN parameters)
+            k = k * bn_scale.astype(k.dtype)
+        k = k.astype(self.dtype)
+        # W4[t,u,(alpha,beta,c),o] = w'[2t+alpha, 2u+beta, c, o]
+        kp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w4 = kp.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5)
+        w4 = w4.reshape(4, 4, 12, 64)
+        # K5 block (a,b) = W4 placed at offset (a,b) in the 5x5 grid
+        k5 = jnp.stack(
+            [jnp.pad(w4, ((a, 1 - a), (b, 1 - b), (0, 0), (0, 0)))
+             for a in range(2) for b in range(2)],
+            axis=3,
+        ).reshape(5, 5, 12, 256)
+        y4 = lax.conv_general_dilated(
+            x, k5, (2, 2), [(2, 1), (2, 1)], dimension_numbers=dn)
+        if bn_bias is not None:
+            y4 = y4 + jnp.tile(bn_bias, 4).astype(y4.dtype)
+        return y4
+
+
+def phase_pool(y4: jnp.ndarray) -> jnp.ndarray:
+    """3x3/2 pad-1 max-pool over a phase-packed conv output.
+
+    ``y4[..., (a*2+b)*64+o]`` = conv pixel (2i+a, 2j+b, o); pool output
+    (i, j) needs conv rows {2i-1, 2i, 2i+1} x cols {2j-1, 2j, 2j+1}.
+    The window is separable, so this factors into a row stage then a col
+    stage — 4 elementwise maxes + 2 whole shifts, all contiguous:
+
+      row:  ru[i] = max(A0[i], A1[i], A1[i-1])   (A = a-phase half)
+      col:  m[j]  = max(RB0[j], RB1[j], RB1[j-1]) (B = b-phase half of ru)
+    """
+    neg = jnp.asarray(-jnp.inf, y4.dtype)
+    a0 = y4[..., 0:128]          # conv row 2i,   both col phases
+    a1 = y4[..., 128:256]        # conv row 2i+1
+    a1_up = jnp.concatenate(
+        [jnp.full_like(a1[:, :1], neg), a1[:, :-1]], axis=1)  # row 2i-1
+    ru = jnp.maximum(jnp.maximum(a0, a1), a1_up)   # (B, H4, W4, 128)
+
+    b0 = ru[..., 0:64]           # conv col 2j
+    b1 = ru[..., 64:128]         # conv col 2j+1
+    b1_left = jnp.concatenate(
+        [jnp.full_like(b1[:, :, :1], neg), b1[:, :, :-1]], axis=2)
+    return jnp.maximum(jnp.maximum(b0, b1), b1_left)
+
+
 class FrozenBN(nn.Module):
     """Inference-mode BatchNorm: trainable scale/bias, constant stats."""
     dtype: Any = jnp.float32
@@ -109,11 +195,33 @@ class Bottleneck(nn.Module):
         return nn.relu(out + residual)
 
 
+def _stem_pool(x: jnp.ndarray, use_pallas: bool) -> jnp.ndarray:
+    """3x3/2 pad-1 max-pool after the stem conv (reference model.py:284).
+
+    On TPU, XLA's reduce_window for this overlapping window runs at ~20%
+    of HBM bandwidth; the Pallas kernel (ops/pool_pallas.py, bit-exact,
+    custom-VJP'd) recovers most of it. Falls back to XLA off-TPU or for
+    odd shapes (canonical shapes are even)."""
+    import jax
+
+    if (use_pallas and jax.default_backend() == "tpu"
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+        from ..ops.pool_pallas import max_pool_3x3_s2_diff
+
+        return max_pool_3x3_s2_diff(x)
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+
 class ResNetBackbone(nn.Module):
     """Stem + 4 stages; returns (C3, C4, C5)."""
     depth: int = 50
     dtype: Any = jnp.float32
     remat: bool = False   # rematerialize residual blocks (trade FLOPs for HBM)
+    pallas_pool: bool = False  # Pallas stem max-pool (ops/pool_pallas.py):
+                               # bit-exact but LOSES to XLA's fused
+                               # reduce_window on the axon runtime (~30us
+                               # fixed cost per grid program dominates a
+                               # bandwidth-bound kernel); kept as an option
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -123,12 +231,23 @@ class ResNetBackbone(nn.Module):
             block = nn.remat(block)
 
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    kernel_init=he_fan_out, name="conv1")(x)
-        x = FrozenBN(self.dtype, name="bn1")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if x.shape[-1] == 12:
+            # space-to-depth stem: BN folded into the phase-packed conv
+            # (so XLA fuses conv+bias+relu in one pass) -> factored
+            # shift-only max-pool. The frozen BN is an affine per channel;
+            # probing the SAME bn1 module on 0s and 1s extracts
+            # (scale, bias) exactly and differentiably without touching
+            # flax param internals.
+            bn = FrozenBN(jnp.float32, name="bn1")
+            bn_bias = bn(jnp.zeros((1, 1, 1, 64)))[0, 0, 0]
+            bn_scale = bn(jnp.ones((1, 1, 1, 64)))[0, 0, 0] - bn_bias
+            y4 = StemConv(self.dtype, name="conv1")(
+                x, bn_scale=bn_scale, bn_bias=bn_bias)
+            x = phase_pool(nn.relu(y4))
+        else:
+            x = StemConv(self.dtype, name="conv1")(x)
+            x = nn.relu(FrozenBN(self.dtype, name="bn1")(x))
+            x = _stem_pool(x, self.pallas_pool)
 
         outs = []
         planes = (64, 128, 256, 512)

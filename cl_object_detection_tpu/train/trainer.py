@@ -201,7 +201,9 @@ class ILTrainer:
         )
 
     def anchors_for(self, images: np.ndarray):
-        h, w = images.shape[1:3]
+        h = images.shape[1]
+        if images.shape[-1] == 12:      # space-to-depth batch (s2d_stem)
+            h *= 2
         if h == self.cfg.data.height:
             return self.anchors_land
         return self.anchors_port
@@ -304,9 +306,8 @@ class ILTrainer:
     # ------------------------------------------------------------------
     def run_batch(self, batch, is_replay: bool = False,
                   sync_metrics: bool = True) -> Dict[str, Any]:
-        orientation = (
-            "land" if batch.images.shape[1] == self.cfg.data.height else "port"
-        )
+        img_h = batch.images.shape[1] * (2 if batch.images.shape[-1] == 12 else 1)
+        orientation = "land" if img_h == self.cfg.data.height else "port"
         step = self._get_step(is_replay, orientation)
         kwargs = {}
         statics = self._loss_statics(is_replay)

@@ -140,3 +140,46 @@ def test_remat_same_tree_and_output():
     g = jax.grad(lambda p: mr.apply({"params": p, "batch_stats": v["batch_stats"]},
                                     jnp.ones((1, 64, 64, 3)))[0].sum())(v["params"])
     assert np.isfinite(float(jax.tree.leaves(g)[0].sum()))
+
+
+def test_s2d_stem_matches_direct():
+    """Space-to-depth phase-packed stem (StemConv 12-channel path +
+    phase_pool) equals the direct 7x7/2 conv + 3x3/2 pool through the
+    whole backbone (same params, both input forms)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.data.transforms import space_to_depth
+    from cl_object_detection_tpu.models.resnet import ResNetBackbone
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 64, 96, 3).astype(np.float32)
+    bb = ResNetBackbone(depth=50, dtype=jnp.float32)
+    v = bb.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ref = bb.apply(v, jnp.asarray(x))
+    got = bb.apply(v, jnp.asarray(space_to_depth(x)))
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(g),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_s2d_full_model_detections_match():
+    """Full RetinaNet forward agrees between RGB and s2d inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.config import ModelConfig
+    from cl_object_detection_tpu.data.transforms import space_to_depth
+    from cl_object_detection_tpu.models import create_retinanet
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 64, 64, 3).astype(np.float32)
+    model = create_retinanet(ModelConfig(depth=18, compute_dtype="float32"), 4)
+    v = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    cls_a, reg_a = model.apply(v, jnp.asarray(x), enable_act=False)
+    cls_b, reg_b = model.apply(v, jnp.asarray(space_to_depth(x)),
+                               enable_act=False)
+    np.testing.assert_allclose(np.asarray(cls_a), np.asarray(cls_b),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(reg_a), np.asarray(reg_b),
+                               atol=1e-4, rtol=1e-4)
