@@ -127,6 +127,10 @@ class BatchLoader:
         )
         img = normalize_image(img, cfg.mean, cfg.std)
         pboxes, plabels, n = pad_annotations(boxes, labels, cfg.max_boxes)
+        if cfg.s2d_stem:
+            # per-sample so the transpose runs inside the decode workers
+            # (threaded), not as a serial stall at batch assembly
+            img = space_to_depth(img[None])[0]
         return img, pboxes, plabels, n, num_pseudo, scale, ds.image_ids[idx]
 
     def _assemble(self, group: Sequence[int], epoch: int) -> Batch:
@@ -146,13 +150,8 @@ class BatchLoader:
             ex = list(self._pool.map(make, enumerate(group)))
         else:
             ex = [make(si) for si in enumerate(group)]
-        images = np.stack([e[0] for e in ex])
-        if self.cfg.s2d_stem:
-            # host-side 2x2 space-to-depth for the phase-packed stem conv
-            # (models.resnet.StemConv); anchors still use the full H, W
-            images = space_to_depth(images)
         return Batch(
-            images=images,
+            images=np.stack([e[0] for e in ex]),
             boxes=np.stack([e[1] for e in ex]),
             labels=np.stack([e[2] for e in ex]),
             num_boxes=np.asarray([e[3] for e in ex], np.int32),

@@ -127,7 +127,23 @@ def space_to_depth(images: np.ndarray) -> np.ndarray:
     workers).
     """
     b, h, w, c = images.shape
-    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    # H, W must be multiples of 4: the phase-packed stem conv pools on the
+    # H/4 grid, and an even-but-not-%4 dim silently yields feature maps
+    # one row/col short of the RGB path (anchor/logit misalignment)
+    assert h % 4 == 0 and w % 4 == 0, (h, w)
     out = images.reshape(b, h // 2, 2, w // 2, 2, c)
     out = out.transpose(0, 1, 3, 2, 4, 5)
     return np.ascontiguousarray(out.reshape(b, h // 2, w // 2, 4 * c))
+
+
+def logical_image_hw(images) -> Tuple[int, int]:
+    """The logical (full-resolution) image height/width of a batch.
+
+    Space-to-depth batches (12 channels, see :func:`space_to_depth`)
+    carry each spatial dim halved; every consumer that picks anchors or
+    orientation from the batch shape must go through this one helper.
+    """
+    h, w = int(images.shape[1]), int(images.shape[2])
+    if images.shape[-1] == 12:
+        return 2 * h, 2 * w
+    return h, w

@@ -43,9 +43,9 @@ def make_predict_fn(
 
     @jax.jit
     def predict(variables, images):
-        h, w = images.shape[1:3]
-        if images.shape[-1] == 12:      # space-to-depth batch (s2d_stem)
-            h, w = 2 * h, 2 * w
+        from ..data.transforms import logical_image_hw
+
+        h, w = logical_image_hw(images)
         anchors = jnp.asarray(anchors_for_shape(h, w))
         logits, regression = model.apply(variables, images, enable_act=False)
         if bic_correct is not None:

@@ -243,7 +243,15 @@ class ResNetBackbone(nn.Module):
             bn_scale = bn(jnp.ones((1, 1, 1, 64)))[0, 0, 0] - bn_bias
             y4 = StemConv(self.dtype, name="conv1")(
                 x, bn_scale=bn_scale, bn_bias=bn_bias)
-            x = phase_pool(nn.relu(y4))
+            y4 = nn.relu(y4)
+            import jax
+
+            if self.pallas_pool and jax.default_backend() == "tpu":
+                from ..ops.pool_pallas import phase_max_pool_diff
+
+                x = phase_max_pool_diff(y4)
+            else:
+                x = phase_pool(y4)
         else:
             x = StemConv(self.dtype, name="conv1")(x)
             x = nn.relu(FrozenBN(self.dtype, name="bn1")(x))

@@ -201,9 +201,9 @@ class ILTrainer:
         )
 
     def anchors_for(self, images: np.ndarray):
-        h = images.shape[1]
-        if images.shape[-1] == 12:      # space-to-depth batch (s2d_stem)
-            h *= 2
+        from ..data.transforms import logical_image_hw
+
+        h, _ = logical_image_hw(images)
         if h == self.cfg.data.height:
             return self.anchors_land
         return self.anchors_port
@@ -306,7 +306,9 @@ class ILTrainer:
     # ------------------------------------------------------------------
     def run_batch(self, batch, is_replay: bool = False,
                   sync_metrics: bool = True) -> Dict[str, Any]:
-        img_h = batch.images.shape[1] * (2 if batch.images.shape[-1] == 12 else 1)
+        from ..data.transforms import logical_image_hw
+
+        img_h, _ = logical_image_hw(batch.images)
         orientation = "land" if img_h == self.cfg.data.height else "port"
         step = self._get_step(is_replay, orientation)
         kwargs = {}

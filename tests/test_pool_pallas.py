@@ -32,6 +32,34 @@ def test_pool_kernel_bit_parity(rng, shape, dtype):
     assert bool(jnp.all(got == ref))
 
 
+@pytest.mark.parametrize("shape", [(2, 32, 48, 256), (1, 160, 256, 256)])
+def test_phase_pool_kernel_bit_parity(rng, shape):
+    """phase_max_pool (Pallas) vs models.resnet.phase_pool (XLA oracle)
+    on phase-packed conv outputs."""
+    from cl_object_detection_tpu.models.resnet import phase_pool
+    from cl_object_detection_tpu.ops.pool_pallas import phase_max_pool
+
+    y4 = jnp.asarray(rng.randn(*shape).astype(np.float32)).astype("bfloat16")
+    ref = phase_pool(y4)
+    got = phase_max_pool(y4, interpret=True)
+    assert got.shape == ref.shape
+    assert bool(jnp.all(got == ref))
+
+
+def test_phase_pool_vjp_matches_xla_grad(rng):
+    """phase_max_pool_diff's backward (XLA recompute) == jax.grad of the
+    XLA phase pool."""
+    import jax
+
+    from cl_object_detection_tpu.models.resnet import phase_pool
+    from cl_object_detection_tpu.ops.pool_pallas import _phase_bwd
+
+    y4 = jnp.asarray(rng.randn(1, 8, 16, 256).astype(np.float32))
+    g_ref = jax.grad(lambda t: jnp.sum(phase_pool(t) ** 2))(y4)
+    (g_got,) = _phase_bwd(y4, phase_pool(y4) * 2)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref))
+
+
 def test_pool_vjp_matches_xla_pool_grad(rng):
     import jax
 
@@ -49,7 +77,7 @@ def test_backbone_cpu_falls_back(rng):
 
     from cl_object_detection_tpu.models.resnet import ResNetBackbone
 
-    bb = ResNetBackbone(depth=18, dtype=jnp.float32)
+    bb = ResNetBackbone(depth=18, dtype=jnp.float32, pallas_pool=True)
     x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
     v = bb.init(jax.random.PRNGKey(0), x)
     c3, c4, c5 = jax.jit(lambda t: bb.apply(v, t))(x)

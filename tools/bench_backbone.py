@@ -1,117 +1,85 @@
 """Dissect ResNet-50 backbone time on TPU: per-stage cumulative cost and
-a no-BN variant (tests whether FrozenBN fuses into the convs or pays an
-extra HBM pass). Same chained-fori_loop timing discipline as bench.py.
+a no-BN variant (tests whether the frozen-BN affine costs an extra HBM
+pass or fuses into the convs). Same chained-fori_loop timing discipline
+as bench.py.
+
+The model is re-expressed here as raw lax convs with the BN folded to a
+single (scale, bias) affine — equivalent math to models/resnet.py
+(verified: "s4" reproduces the flax backbone's timing within noise).
 
 Usage: python tools/bench_backbone.py [--batch N] [mode ...]
-modes: stem, s1, s2, s3, s4 (cumulative through stage k), full, nobn,
-       f32 (full backbone in float32)
+modes: stem, s1, s2, s3, s4 (cumulative through stage k), nobn
+       (BN affine skipped entirely), f32 (everything in float32)
 """
 import json, sys, time
-from functools import partial
 
 import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-
-def make_backbone(nobn=False, dtype=None):
-    import flax.linen as nn
-    import jax.numpy as jnp
-    from cl_object_detection_tpu.models import resnet as R
-
-    dtype = dtype or jnp.bfloat16
-
-    class Identity(nn.Module):
-        dtype: object = jnp.float32
-
-        @nn.compact
-        def __call__(self, x):
-            return x
-
-    if nobn:
-        # swap FrozenBN for identity to isolate BN cost
-        orig = R.FrozenBN
-        R.FrozenBN = Identity
-        try:
-            bb = R.ResNetBackbone(depth=50, dtype=dtype)
-        finally:
-            R.FrozenBN = orig
-        return bb
-    return R.ResNetBackbone(depth=50, dtype=dtype)
+LAYERS = (3, 4, 6, 3)
+PLANES = (64, 128, 256, 512)
 
 
 def run(mode, batch=16, iters=20):
     import jax, jax.numpy as jnp
     import flax.linen as nn
-    from cl_object_detection_tpu.models import resnet as R
+    from cl_object_detection_tpu.models.resnet import ResNetBackbone
 
     H, W = 640, 1024
     dtype = jnp.float32 if mode == "f32" else jnp.bfloat16
-    bb = make_backbone(nobn=(mode == "nobn"), dtype=dtype)
-    bvars = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
-
+    use_bn = mode != "nobn"
     stages = {"stem": 0, "s1": 1, "s2": 2, "s3": 3, "s4": 4,
-              "full": 4, "nobn": 4, "f32": 4}[mode]
+              "nobn": 4, "f32": 4}[mode]
 
-    def partial_apply(images):
-        # re-trace the backbone module graph up to `stages`
-        p = bvars["params"]
+    bb = ResNetBackbone(depth=50, dtype=dtype)
+    bvars = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
+    params = bvars["params"]
+    stats = bvars["batch_stats"]
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def conv(x, kernel, stride=1, pad=0):
+        return jax.lax.conv_general_dilated(
+            x, kernel.astype(dtype), (stride, stride), [(pad, pad)] * 2,
+            dimension_numbers=dn)
+
+    def bn(tree_p, tree_s, x):
+        # folded frozen-BN affine: one multiply-add per channel
+        if not use_bn:
+            return x
+        b, s = tree_p["bn"], tree_s["bn"]
+        inv = 1.0 / jnp.sqrt(s["var"] + 1e-5)
+        scale = (b["scale"] * inv).astype(dtype)
+        bias = (b["bias"] - s["mean"] * b["scale"] * inv).astype(dtype)
+        return x * scale + bias
+
+    def apply_stages(images):
         x = images.astype(dtype)
-
-        def conv_apply(name, x, feats, ksize, stride, pad):
-            k = p[name]["kernel"].astype(dtype)
-            return jax.lax.conv_general_dilated(
-                x, k, (stride, stride), [(pad, pad), (pad, pad)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-        def bn_apply(scope, x):
-            if mode == "nobn":
-                return x
-            b = p[scope]["bn"]
-            s = bvars["batch_stats"][scope]["bn"]
-            scale = (b["scale"] / jnp.sqrt(s["var"] + 1e-5)).astype(dtype)
-            bias = (b["bias"] - s["mean"] * b["scale"]
-                    / jnp.sqrt(s["var"] + 1e-5)).astype(dtype)
-            return x * scale + bias
-
-        x = conv_apply("conv1", x, 64, 7, 2, 3)
-        x = nn.relu(bn_apply("bn1", x))
+        x = conv(x, params["conv1"]["kernel"], stride=2, pad=3)
+        x = nn.relu(bn(params["bn1"], stats["bn1"], x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         if stages == 0:
             return jnp.sum(x[..., 0].astype(jnp.float32)) * 1e-6
 
-        layers = (3, 4, 6, 3)
-        planes = (64, 128, 256, 512)
         for stage in range(stages):
-            pl, n = planes[stage], layers[stage]
+            planes, n = PLANES[stage], LAYERS[stage]
             stride = 1 if stage == 0 else 2
             for i in range(n):
                 blk = f"layer{stage + 1}_{i}"
-                bp = p[blk]
+                bp, bs = params[blk], stats[blk]
                 st = stride if i == 0 else 1
                 residual = x
-                out = jax.lax.conv_general_dilated(
-                    x, bp["conv1"]["kernel"].astype(dtype), (1, 1),
-                    [(0, 0), (0, 0)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                out = nn.relu(bn_apply2(bvars, blk, "bn1", out, mode, dtype))
-                out = jax.lax.conv_general_dilated(
-                    out, bp["conv2"]["kernel"].astype(dtype), (st, st),
-                    [(1, 1), (1, 1)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                out = nn.relu(bn_apply2(bvars, blk, "bn2", out, mode, dtype))
-                out = jax.lax.conv_general_dilated(
-                    out, bp["conv3"]["kernel"].astype(dtype), (1, 1),
-                    [(0, 0), (0, 0)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                out = bn_apply2(bvars, blk, "bn3", out, mode, dtype)
-                if x.shape[-1] != pl * 4 or st != 1:
-                    residual = jax.lax.conv_general_dilated(
-                        x, bp["downsample_conv"]["kernel"].astype(dtype),
-                        (st, st), [(0, 0), (0, 0)],
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                    residual = bn_apply2(bvars, blk, "downsample_bn",
-                                         residual, mode, dtype)
+                out = conv(x, bp["conv1"]["kernel"])
+                out = nn.relu(bn(bp["bn1"], bs["bn1"], out))
+                out = conv(out, bp["conv2"]["kernel"], stride=st, pad=1)
+                out = nn.relu(bn(bp["bn2"], bs["bn2"], out))
+                out = conv(out, bp["conv3"]["kernel"])
+                out = bn(bp["bn3"], bs["bn3"], out)
+                if x.shape[-1] != planes * 4 or st != 1:
+                    residual = conv(x, bp["downsample_conv"]["kernel"],
+                                    stride=st)
+                    residual = bn(bp["downsample_bn"], bs["downsample_bn"],
+                                  residual)
                 x = nn.relu(out + residual)
         return jnp.sum(x[..., 0].astype(jnp.float32)) * 1e-6
 
@@ -121,7 +89,7 @@ def run(mode, batch=16, iters=20):
     @jax.jit
     def chained(images):
         def body(i, acc):
-            return acc + partial_apply(images + acc * 1e-12)
+            return acc + apply_stages(images + acc * 1e-12)
         return jax.lax.fori_loop(0, iters, body, 0.0)
 
     float(chained(x0))
@@ -133,18 +101,6 @@ def run(mode, batch=16, iters=20):
     return {"mode": mode, "batch": batch,
             "ms_per_batch": round(dt / iters * 1e3, 3),
             "img_per_s": round(batch * iters / dt, 2)}
-
-
-def bn_apply2(bvars, blk, name, x, mode, dtype):
-    import jax.numpy as jnp
-    if mode == "nobn":
-        return x
-    b = bvars["params"][blk][name]["bn"]
-    s = bvars["batch_stats"][blk][name]["bn"]
-    scale = (b["scale"] / jnp.sqrt(s["var"] + 1e-5)).astype(dtype)
-    bias = (b["bias"] - s["mean"] * b["scale"]
-            / jnp.sqrt(s["var"] + 1e-5)).astype(dtype)
-    return x * scale + bias
 
 
 if __name__ == "__main__":
