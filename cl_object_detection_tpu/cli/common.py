@@ -105,6 +105,14 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--ignore_past_class", type=str2bool, default=False)
     p.add_argument("--image_height", type=int, default=640)
     p.add_argument("--image_width", type=int, default=1024)
+    p.add_argument("--shape_buckets", default="",
+                   help="extra canonical frames 'HxW,HxW,...' (landscape "
+                        "form, dims %%32); images pad into the smallest "
+                        "fitting frame — less conv waste, one compiled "
+                        "step per frame")
+    p.add_argument("--s2d_stem", type=str2bool, default=False,
+                   help="host 2x2 space-to-depth batches for the "
+                        "phase-packed stem conv")
     p.add_argument("--min_side", type=int, default=None,
                    help="resize min-side target (default: image_height - 32)")
     p.add_argument("--max_side", type=int, default=None,
@@ -153,6 +161,11 @@ def args_to_config(a: argparse.Namespace) -> TrainConfig:
             # resize targets must fit the canonical frame, else GT clips out
             min_side=a.min_side or max(a.image_height - 32, 32),
             max_side=a.max_side or a.image_width,
+            shape_buckets=tuple(
+                tuple(int(d) for d in part.split("x"))
+                for part in a.shape_buckets.split(",") if part
+            ),
+            s2d_stem=a.s2d_stem,
         ),
         schedule=ScheduleConfig(
             lr=a.lr,

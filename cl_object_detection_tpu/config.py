@@ -76,6 +76,13 @@ class DataConfig:
     width: int = 1024                  # canonical padded W (multiple of 128)
     max_boxes: int = 100               # GT padding capacity (-1 sentinel rows)
     hflip_prob: float = 0.5            # Augmenter (dataloader.py:400-421)
+    shape_buckets: Tuple[Tuple[int, int], ...] = ()
+                                       # extra canonical frames (h, w),
+                                       # landscape form, each dim %32: an
+                                       # image pads into the smallest
+                                       # fitting frame (transposed for
+                                       # portrait). Fewer padded pixels,
+                                       # one compiled step per frame.
     s2d_stem: bool = False             # emit 2x2 space-to-depth batches
                                        # (B,H/2,W/2,12) for the phase-packed
                                        # stem conv (models/resnet.StemConv)

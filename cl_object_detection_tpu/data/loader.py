@@ -29,8 +29,9 @@ import numpy as np
 
 from ..config import DataConfig
 from .dataset import ILDataset
-from .transforms import (hflip, normalize_image, pad_annotations,
-                         resize_and_pad, space_to_depth)
+from .transforms import (compute_scale, hflip, normalize_image,
+                         pad_annotations, pick_canonical, resize_and_pad,
+                         space_to_depth)
 
 
 @dataclass
@@ -95,10 +96,11 @@ class BatchLoader:
         """
         n = len(self.dataset)
         rng = np.random.RandomState(self.seed + self._epoch)
-        land = [i for i in range(n) if self.dataset.image_aspect_ratio(i) >= 1.0]
-        port = [i for i in range(n) if self.dataset.image_aspect_ratio(i) < 1.0]
+        groups: dict = {}
+        for i in range(n):
+            groups.setdefault(self._canonical_of(i), []).append(i)
         batches: List[List[int]] = []
-        for order in (land, port):
+        for _, order in sorted(groups.items()):
             if not order:
                 continue
             order = list(order)
@@ -116,6 +118,15 @@ class BatchLoader:
             rng.shuffle(batches)
         return batches
 
+    def _canonical_of(self, idx: int):
+        """Canonical frame of an image from metadata alone (no decode):
+        same scale rule + bucket pick as resize_and_pad."""
+        h, w = self.dataset.image_size(idx)
+        cfg = self.cfg
+        scale = compute_scale(h, w, cfg.min_side, cfg.max_side)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        return pick_canonical(nh, nw, cfg.height, cfg.width, cfg.shape_buckets)
+
     def _make_example(self, idx: int, rng: np.random.RandomState):
         ds, cfg = self.dataset, self.cfg
         img = ds.load_image(idx)
@@ -123,7 +134,8 @@ class BatchLoader:
         if self.augment and rng.rand() < cfg.hflip_prob:
             img, boxes = hflip(img, boxes)
         img, boxes, scale = resize_and_pad(
-            img, boxes, cfg.min_side, cfg.max_side, cfg.height, cfg.width
+            img, boxes, cfg.min_side, cfg.max_side, cfg.height, cfg.width,
+            buckets=cfg.shape_buckets,
         )
         img = normalize_image(img, cfg.mean, cfg.std)
         pboxes, plabels, n = pad_annotations(boxes, labels, cfg.max_boxes)

@@ -36,6 +36,29 @@ def canonical_shape(h: int, w: int, height: int, width: int) -> Tuple[int, int]:
     return (width, height)
 
 
+def pick_canonical(
+    nh: int, nw: int, height: int, width: int,
+    buckets: Tuple[Tuple[int, int], ...] = (),
+) -> Tuple[int, int]:
+    """Smallest canonical frame that fits a (nh, nw) RESIZED image.
+
+    ``buckets`` are extra landscape-form frames (h, w), h <= w, each a
+    multiple of 32; portrait images use their transposes. The default
+    (height, width) frame is always a candidate, so an image that fits no
+    bucket falls back to it. Fewer padded pixels = proportionally less
+    conv work per batch (VOC-typical 608x810 images waste 23% of a
+    640x1024 frame), at the cost of one compiled step per extra frame.
+    """
+    land = nw >= nh
+    best = (height, width) if land else (width, height)
+    for bh, bw in buckets:
+        if not land:
+            bh, bw = bw, bh
+        if nh <= bh and nw <= bw and bh * bw < best[0] * best[1]:
+            best = (bh, bw)
+    return best
+
+
 def compute_scale(h: int, w: int, min_side: int, max_side: int) -> float:
     """Reference Resizer scale rule (dataloader.py:369-385)."""
     smallest = min(h, w)
@@ -53,6 +76,7 @@ def resize_and_pad(
     max_side: int,
     height: int,
     width: int,
+    buckets: Tuple[Tuple[int, int], ...] = (),
 ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Resize (bilinear) + zero-pad into the canonical frame.
 
@@ -65,7 +89,7 @@ def resize_and_pad(
     h, w = image.shape[:2]
     scale = compute_scale(h, w, min_side, max_side)
     nh, nw = int(round(h * scale)), int(round(w * scale))
-    ch, cw = canonical_shape(h, w, height, width)
+    ch, cw = pick_canonical(nh, nw, height, width, buckets)
     nh, nw = min(nh, ch), min(nw, cw)
 
     if cv2 is not None:

@@ -56,13 +56,15 @@ class AGem:
             )
             return total
 
-        anchors = jnp.asarray(anchors)
+        from ..ops.anchors import as_anchor_provider
+
+        self._anchors_provider = as_anchor_provider(anchors)
 
         @jax.jit
-        def grad_step(variables, images, boxes, labels):
+        def grad_step(variables, anchors_, images, boxes, labels):
             g = jax.grad(loss_fn)(
                 variables["params"], variables["batch_stats"], images, boxes,
-                labels, anchors,
+                labels, anchors_,
             )
             # per-batch clip 0.1 (agem.py:30)
             norm = jnp.sqrt(sum(jnp.sum(x * x) for x in jax.tree.leaves(g)))
@@ -79,7 +81,8 @@ class AGem:
         n = max(len(self.replay_loader), 1)
         for batch in self.replay_loader:
             g = self._grad_step(
-                variables, jnp.asarray(batch.images), jnp.asarray(batch.boxes),
+                variables, jnp.asarray(self._anchors_provider(batch.images)),
+                jnp.asarray(batch.images), jnp.asarray(batch.boxes),
                 jnp.asarray(batch.labels),
             )
             g = jax.tree.map(lambda x, m: x * m / n, g, self._mask)

@@ -98,20 +98,23 @@ class BicTrainer:
             num_classes=num_knowing, num_past_class=num_past_class,
             incremental=False, is_replay=True, is_bic=True,
         )
-        anchors = jnp.asarray(anchors)
+        from ..ops.anchors import as_anchor_provider
 
-        def loss_fn(bic_tree, variables, images, boxes, labels):
+        self._anchors_provider = as_anchor_provider(anchors)
+
+        def loss_fn(bic_tree, variables, anchors_, images, boxes, labels):
             bc = lambda logits: correct(logits, bic_tree["alphas"], bic_tree["betas"])
             total, metrics = compute_losses(
-                apply_plain, None, variables, images, boxes, labels, anchors,
+                apply_plain, None, variables, images, boxes, labels, anchors_,
                 il_cfg, focal_cfg, statics, bic_correct=bc,
             )
             return total, metrics
 
         @jax.jit
-        def train_step(bic_tree, opt_state, variables, images, boxes, labels):
+        def train_step(bic_tree, opt_state, variables, anchors_, images,
+                       boxes, labels):
             (total, metrics), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                bic_tree, variables, images, boxes, labels
+                bic_tree, variables, anchors_, images, boxes, labels
             )
             # mask: only the current state's slot updates
             mask = jnp.zeros_like(bic_tree["alphas"]).at[idx].set(1.0)
@@ -136,6 +139,7 @@ class BicTrainer:
         for batch in self.bic_loader:
             tree, self.opt_state, metrics = self._train_step(
                 tree, self.opt_state, variables,
+                jnp.asarray(self._anchors_provider(batch.images)),
                 jnp.asarray(batch.images), jnp.asarray(batch.boxes),
                 jnp.asarray(batch.labels),
             )

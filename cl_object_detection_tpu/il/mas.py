@@ -39,10 +39,11 @@ def importance_mask(params) -> Any:
     )
 
 
-def make_importance_step(model, anchors):
-    """Returns jitted fn(variables, images, boxes, labels) -> |grad| tree."""
+def make_importance_step(model):
+    """Returns jitted fn(variables, anchors, images, boxes, labels) ->
+    |grad| tree. Anchors are a traced argument (one trace per frame)."""
 
-    def output_norm(params, batch_stats, images, boxes, labels):
+    def output_norm(params, batch_stats, anchors, images, boxes, labels):
         variables = {"params": params, "batch_stats": batch_stats}
         cls, reg = model.apply(variables, images, enable_act=True)
         cls = cls.astype(jnp.float32)
@@ -65,9 +66,10 @@ def make_importance_step(model, anchors):
         return cls_norm + reg_norm
 
     @jax.jit
-    def step(variables, images, boxes, labels):
-        g = jax.grad(output_norm)(
-            variables["params"], variables["batch_stats"], images, boxes, labels
+    def step(variables, anchors, images, boxes, labels):
+        g = jax.grad(output_norm, argnums=0)(
+            variables["params"], variables["batch_stats"], anchors,
+            images, boxes, labels
         )
         return jax.tree.map(jnp.abs, g)
 
@@ -77,11 +79,15 @@ def make_importance_step(model, anchors):
 def compute_importance(model, variables, anchors, loader) -> Any:
     """Full-dataset pass (mas.py:91-130): mean |grad| per param, zeroed on
     excluded leaves. Returns a tree like params."""
-    step = make_importance_step(model, jnp.asarray(anchors))
+    from ..ops.anchors import as_anchor_provider
+
+    provider = as_anchor_provider(anchors)
+    step = make_importance_step(model)
     acc = jax.tree.map(jnp.zeros_like, variables["params"])
     n = 0
     for batch in loader:
-        g = step(variables, jnp.asarray(batch.images), jnp.asarray(batch.boxes),
+        g = step(variables, jnp.asarray(provider(batch.images)),
+                 jnp.asarray(batch.images), jnp.asarray(batch.boxes),
                  jnp.asarray(batch.labels))
         acc = jax.tree.map(jnp.add, acc, g)
         n += 1

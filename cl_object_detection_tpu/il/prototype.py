@@ -32,13 +32,13 @@ import numpy as np
 from ..ops.boxes import pairwise_iou
 
 
-def make_batch_prototype_fn(model, anchors, num_classes: int, num_anchors: int = 9):
+def make_batch_prototype_fn(model, num_classes: int, num_anchors: int = 9):
     """Jitted: batch -> (sum_features (C, 9, D), counts (C, 9)) over
-    positive anchors. Labels are final-state contiguous ids."""
-    anchors = jnp.asarray(anchors)
+    positive anchors. Labels are final-state contiguous ids. Anchors are
+    a traced argument (per-frame grids)."""
 
     @jax.jit
-    def step(variables, images, boxes, labels):
+    def step(variables, anchors, images, boxes, labels):
         cls, reg, feats, unfolded = model.apply(
             variables, images, method="classification_features"
         )
@@ -70,13 +70,15 @@ def compute_prototype_features(
     model, variables, anchors, loader, num_classes: int
 ) -> np.ndarray:
     """Dataset pass -> (C, 9, D) prototype features (prototype.py:107-141)."""
-    step = None
+    from ..ops.anchors import as_anchor_provider
+
+    provider = as_anchor_provider(anchors)
+    step = make_batch_prototype_fn(model, num_classes)
     total = None
     counts = None
     for batch in loader:
-        if step is None:
-            step = make_batch_prototype_fn(model, anchors, num_classes)
-        s, c = step(variables, jnp.asarray(batch.images),
+        s, c = step(variables, jnp.asarray(provider(batch.images)),
+                    jnp.asarray(batch.images),
                     jnp.asarray(batch.boxes), jnp.asarray(batch.labels))
         s, c = np.asarray(s, np.float64), np.asarray(c, np.float64)
         total = s if total is None else total + s
@@ -127,8 +129,11 @@ def prototype_herd_scores(
     slot-averaged class prototype."""
     from ..data.loader import BatchLoader
 
+    from ..ops.anchors import as_anchor_provider
+
     num_classes = prototypes.shape[0]
-    step = make_batch_prototype_fn(model, anchors, num_classes)
+    provider = as_anchor_provider(anchors)
+    step = make_batch_prototype_fn(model, num_classes)
     proto_mean = prototypes.mean(axis=1)                       # (C, D)
     loader = BatchLoader(dataset, data_cfg, shuffle=False, augment=False)
     scores: Dict[int, Dict[int, float]] = {c: {} for c in range(num_classes)}
@@ -140,6 +145,7 @@ def prototype_herd_scores(
             seen.add(img_id)
             s, c = step(
                 variables,
+                jnp.asarray(provider(batch.images)),
                 jnp.asarray(batch.images[b : b + 1]),
                 jnp.asarray(batch.boxes[b : b + 1]),
                 jnp.asarray(batch.labels[b : b + 1]),

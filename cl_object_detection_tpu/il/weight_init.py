@@ -22,14 +22,14 @@ import numpy as np
 from ..ops.boxes import pairwise_iou
 
 
-def make_similarity_step(model, anchors, num_new: int, num_old: int,
+def make_similarity_step(model, num_new: int, num_old: int,
                          threshold: float = 0.5):
     """Jitted: batch -> (per-new-class summed distributions (n_new, n_old),
-    per-new-class image-presence counts (n_new,))."""
-    anchors = jnp.asarray(anchors)
+    per-new-class image-presence counts (n_new,)). Anchors are a traced
+    argument (per-frame grids)."""
 
     @jax.jit
-    def step(variables, images, boxes, labels):
+    def step(variables, anchors, images, boxes, labels):
         cls, _ = model.apply(variables, images, enable_act=True)
         cls = jnp.clip(cls.astype(jnp.float32), 1e-4, 1 - 1e-4)
 
@@ -68,11 +68,15 @@ def make_similarity_step(model, anchors, num_new: int, num_old: int,
 def compute_similarity(model, variables, anchors, loader,
                        num_new: int, num_old: int) -> np.ndarray:
     """Full-dataset similarity matrix (weight_init.py:26-72)."""
-    step = make_similarity_step(model, anchors, num_new, num_old)
+    from ..ops.anchors import as_anchor_provider
+
+    provider = as_anchor_provider(anchors)
+    step = make_similarity_step(model, num_new, num_old)
     total = np.zeros((num_new, num_old), np.float64)
     count = np.zeros((num_new,), np.float64)
     for batch in loader:
-        s, c = step(variables, jnp.asarray(batch.images),
+        s, c = step(variables, jnp.asarray(provider(batch.images)),
+                    jnp.asarray(batch.images),
                     jnp.asarray(batch.boxes), jnp.asarray(batch.labels))
         total += np.asarray(s)
         count += np.asarray(c)

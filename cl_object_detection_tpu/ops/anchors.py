@@ -79,3 +79,20 @@ def num_anchors_for_shape(
     height: int, width: int, pyramid_levels: Tuple[int, ...] = (3, 4, 5, 6, 7)
 ) -> int:
     return sum(fh * fw * 9 for fh, fw in feature_shapes(height, width, pyramid_levels))
+
+
+def as_anchor_provider(anchors):
+    """Normalize an ``anchors`` argument to a per-batch provider.
+
+    IL tool passes (MAS, prototypes, similarity, BiC, A-GEM) iterate
+    orientation-bucketed loaders; landscape and portrait frames have the
+    SAME anchor count but different grids, so a single anchors array
+    silently mis-matches every portrait batch. Helpers accept either a
+    constant array (single-shape loaders, tests) or a callable
+    ``images -> anchors`` (``ILTrainer.anchors_for``) and resolve it per
+    batch; their jitted steps take anchors as a traced argument so each
+    distinct shape compiles once.
+    """
+    if callable(anchors):
+        return anchors
+    return lambda images: anchors

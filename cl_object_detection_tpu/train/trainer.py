@@ -113,8 +113,9 @@ class ILTrainer:
 
         # model ---------------------------------------------------------
         h, w = cfg.data.height, cfg.data.width
-        self.anchors_land = jnp.asarray(anchors_for_shape(h, w))
-        self.anchors_port = jnp.asarray(anchors_for_shape(w, h))
+        self._anchors_cache: Dict[Any, Any] = {}
+        self.anchors_land = self._anchors_at(h, w)
+        self.anchors_port = self._anchors_at(w, h)
 
         # cross-state resume (reference main.py:46-49, 82): entering state
         # k at epoch 1 starts from state k-1's newest checkpoint with the
@@ -200,13 +201,17 @@ class ILTrainer:
             seed=self.cfg.seed,
         )
 
+    def _anchors_at(self, h: int, w: int):
+        key = (h, w)
+        if key not in self._anchors_cache:
+            self._anchors_cache[key] = jnp.asarray(anchors_for_shape(h, w))
+        return self._anchors_cache[key]
+
     def anchors_for(self, images: np.ndarray):
         from ..data.transforms import logical_image_hw
 
-        h, _ = logical_image_hw(images)
-        if h == self.cfg.data.height:
-            return self.anchors_land
-        return self.anchors_port
+        h, w = logical_image_hw(images)
+        return self._anchors_at(h, w)
 
     def variables(self):
         return self.train_state.variables
@@ -255,12 +260,14 @@ class ILTrainer:
             use_agem=self.cfg.il.agem.enabled,
         )
 
-    def _get_step(self, is_replay: bool, orientation: str):
+    def _get_step(self, is_replay: bool, frame):
+        """One compiled train step per (batch-kind, warm-stage, state,
+        canonical frame, prototype-phase); ``frame`` is the logical (h, w)."""
         statics = self._loss_statics(is_replay)
-        key = (is_replay, self._warm_kind, self.cur_state, orientation,
+        key = (is_replay, self._warm_kind, self.cur_state, frame,
                statics.use_prototype)
         if key not in self._steps:
-            anchors = self.anchors_land if orientation == "land" else self.anchors_port
+            anchors = self._anchors_at(*frame)
             self._steps[key] = make_train_step(
                 self.model,
                 self.teacher_model,
@@ -308,9 +315,7 @@ class ILTrainer:
                   sync_metrics: bool = True) -> Dict[str, Any]:
         from ..data.transforms import logical_image_hw
 
-        img_h, _ = logical_image_hw(batch.images)
-        orientation = "land" if img_h == self.cfg.data.height else "port"
-        step = self._get_step(is_replay, orientation)
+        step = self._get_step(is_replay, logical_image_hw(batch.images))
         kwargs = {}
         statics = self._loss_statics(is_replay)
         if statics.use_distill:
@@ -403,7 +408,7 @@ class ILTrainer:
             self.prototype_features = np.asarray(list(cached.values())[0])
         else:
             self.prototype_features = compute_prototype_features(
-                self.model, self.variables(), self.anchors_land, loader,
+                self.model, self.variables(), self.anchors_for, loader,
                 num_classes,
             )
             self.ckpt.save_array_sidecar(
@@ -434,7 +439,7 @@ class ILTrainer:
             assert self.prototype_features is not None
             prev_ds = self._prev_state_dataset(prev)
             scores = prototype_herd_scores(
-                self.model, self.variables(), self.anchors_land, prev_ds,
+                self.model, self.variables(), self.anchors_for, prev_ds,
                 self.cfg.data, self.prototype_features,
             )
             future = set(self._future_img_ids())
@@ -528,7 +533,7 @@ class ILTrainer:
                                  augment=True, seed=self.cfg.seed)
         counts = [s.num_new_class for s in self.states.states]
         self.bic = BicTrainer(
-            self.model, self.anchors_land, cfg, self.cfg.focal, cfg.bic,
+            self.model, self.anchors_for, cfg, self.cfg.focal, cfg.bic,
             counts, self.cur_state, st.num_past_class, bic_loader,
         )
 
@@ -544,7 +549,7 @@ class ILTrainer:
             incremental=False, is_replay=True,
         )
         self.agem = AGem(
-            self.model, self.anchors_land, self.cfg.il, self.cfg.focal,
+            self.model, self.anchors_for, self.cfg.il, self.cfg.focal,
             statics, self.replay_loader,
         )
 
@@ -594,7 +599,7 @@ class ILTrainer:
         else:
             loader = self._make_train_loader()
             self.mas_importance = compute_importance(
-                self.model, self.variables(), self.anchors_land, loader
+                self.model, self.variables(), self.anchors_for, loader
             )
             self.ckpt.save_array_sidecar(prev, "mas_importance", self.mas_importance)
 
@@ -673,7 +678,7 @@ class ILTrainer:
             else:
                 loader = self._make_train_loader()
                 similarity = compute_similarity(
-                    self.model, self.variables(), self.anchors_land, loader,
+                    self.model, self.variables(), self.anchors_for, loader,
                     num_new=st.num_new_class,
                     num_old=st.num_past_class,
                 )
@@ -695,7 +700,7 @@ class ILTrainer:
     def _update_mas_for_next(self) -> None:
         loader = self._make_train_loader()
         self.mas_importance = compute_importance(
-            self.model, self.variables(), self.anchors_land, loader
+            self.model, self.variables(), self.anchors_for, loader
         )
         self.ckpt.save_array_sidecar(self.cur_state, "mas_importance",
                                      self.mas_importance)

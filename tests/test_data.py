@@ -129,3 +129,42 @@ def test_loader_worker_count_invariance(toy):
             np.testing.assert_array_equal(bx.image_ids, by.image_ids)
             np.testing.assert_allclose(bx.images, by.images)
             np.testing.assert_allclose(bx.boxes, by.boxes)
+
+
+def test_shape_buckets(tmp_path):
+    """shape_buckets: each image pads into the smallest fitting frame
+    (transposed for portrait); batches stay frame-homogeneous; the
+    fallback frame still catches what no bucket fits."""
+    import os
+
+    from cl_object_detection_tpu.config import DataConfig
+    from cl_object_detection_tpu.data.coco import CocoJson
+    from cl_object_detection_tpu.data.dataset import ILDataset
+    from cl_object_detection_tpu.data.loader import BatchLoader
+    from cl_object_detection_tpu.data.transforms import pick_canonical
+    from cl_object_detection_tpu.states import ILStates
+    from cl_object_detection_tpu.utils.toydata import make_toy_dataset
+
+    # unit: bucket choice
+    assert pick_canonical(60, 90, 64, 128, ((64, 96),)) == (64, 96)
+    assert pick_canonical(90, 60, 64, 128, ((64, 96),)) == (96, 64)   # portrait
+    assert pick_canonical(64, 120, 64, 128, ((64, 96),)) == (64, 128) # no fit
+    assert pick_canonical(60, 90, 64, 128, ()) == (64, 128)           # no buckets
+
+    root = str(tmp_path)
+    j = make_toy_dataset(root, num_images=10)
+    coco = CocoJson(j)
+    states = ILStates(list(coco.classes.values()), coco.classes_inverse, [5])
+    ds = ILDataset(coco, states, os.path.join(root, "images"), split="train",
+                   start_state=0)
+    cfg = DataConfig(batch_size=2, min_side=56, max_side=96, height=64,
+                     width=96, max_boxes=8, shape_buckets=((64, 64),))
+    seen = set()
+    for b in BatchLoader(ds, cfg, shuffle=False, augment=False):
+        assert b.images.shape[0] == 2
+        seen.add(b.images.shape[1:3])
+    # toy images are 3:4 / 4:3 -> resized ~72x96 / 96x72 exceed the 64x64
+    # bucket only in one dim... every shape seen must be one of the four
+    allowed = {(64, 96), (96, 64), (64, 64)}
+    assert seen <= allowed, seen
+    assert len(seen) >= 1

@@ -128,3 +128,53 @@ def test_prototype_loss_margin():
         num_new_class=1, margin=10.0, weight=1.0,
     )
     assert float(loss_far) == 0.0  # far outside the margin
+
+
+def test_anchor_provider_orientation_regression():
+    """IL tool passes must hand portrait batches portrait-grid anchors.
+
+    Regression: every dataset-pass helper (MAS, prototypes, similarity,
+    BiC, A-GEM) used the landscape anchors for ALL batches — landscape
+    and portrait frames have the SAME anchor count, so the mismatch was
+    silent. A GT box in the bottom third of a portrait image is covered
+    only by the portrait grid (the landscape grid spans the top 64 rows),
+    so MAS importance must differ between a shape-aware provider and the
+    constant-landscape array."""
+    from types import SimpleNamespace
+
+    from cl_object_detection_tpu.config import ModelConfig
+    from cl_object_detection_tpu.il.mas import compute_importance
+    from cl_object_detection_tpu.models import create_retinanet
+    from cl_object_detection_tpu.ops.anchors import (
+        anchors_for_shape,
+        as_anchor_provider,
+    )
+
+    land = anchors_for_shape(64, 96)
+    port = anchors_for_shape(96, 64)
+    const = as_anchor_provider(land)
+    assert const(np.zeros((1, 96, 64, 3))) is land
+    fn = lambda images: land
+    assert as_anchor_provider(fn) is fn
+
+    model = create_retinanet(ModelConfig(depth=18, compute_dtype="float32"), 5)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(1, 96, 64, 3).astype(np.float32)
+    # 32x32 box centered (28, 76): exact match of the level-3 anchor at
+    # that center in the PORTRAIT grid; outside the landscape grid's rows
+    boxes = np.asarray([[[12.0, 60.0, 44.0, 92.0]]], np.float32)
+    labels = np.asarray([[2]], np.int32)
+    batch = SimpleNamespace(images=img, boxes=boxes, labels=labels)
+
+    def oriented(images):
+        return port if images.shape[1] == 96 else land
+
+    good = compute_importance(model, variables, oriented, [batch])
+    bad = compute_importance(model, variables, land, [batch])
+    diff = sum(
+        float(jnp.sum(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(good), jax.tree.leaves(bad))
+    )
+    assert diff > 0.0, "orientation-aware anchors must change the result"
