@@ -24,6 +24,26 @@ from ..config import (
 )
 
 
+def _parse_shape_buckets(spec: str):
+    """Parse/validate 'HxW,HxW,...': landscape form (h <= w), dims %32."""
+    out = []
+    for part in spec.split(","):
+        if not part:
+            continue
+        dims = part.split("x")
+        if len(dims) != 2:
+            raise SystemExit(f"--shape_buckets: '{part}' is not HxW")
+        h, w = (int(d) for d in dims)
+        if h > w:
+            raise SystemExit(
+                f"--shape_buckets: '{part}' must be landscape form (h <= w);"
+                " portrait images use the transpose automatically")
+        if h % 32 or w % 32:
+            raise SystemExit(f"--shape_buckets: '{part}' dims must be %32")
+        out.append((h, w))
+    return tuple(out)
+
+
 def str2bool(v: str) -> bool:
     return str(v).lower() in ("1", "true", "yes", "t")
 
@@ -161,10 +181,7 @@ def args_to_config(a: argparse.Namespace) -> TrainConfig:
             # resize targets must fit the canonical frame, else GT clips out
             min_side=a.min_side or max(a.image_height - 32, 32),
             max_side=a.max_side or a.image_width,
-            shape_buckets=tuple(
-                tuple(int(d) for d in part.split("x"))
-                for part in a.shape_buckets.split(",") if part
-            ),
+            shape_buckets=_parse_shape_buckets(a.shape_buckets),
             s2d_stem=a.s2d_stem,
         ),
         schedule=ScheduleConfig(

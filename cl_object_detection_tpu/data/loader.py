@@ -4,7 +4,7 @@ Replaces the reference's torch DataLoader + ragged ``collater`` +
 ``AspectRatioBasedSampler`` (/root/reference/retinanet/dataloader.py:327-485)
 with a TPU-friendly design:
 
-  * every batch has ONE static shape — images are bucketed by orientation
+  * every batch has ONE static shape — images are bucketed by canonical frame (orientation, plus optional shape_buckets)
     (landscape vs portrait) so only two compiled shapes ever exist;
   * images come out NHWC float32 (XLA:TPU's preferred conv layout), GT is
     padded to ``max_boxes`` with -1 sentinels;
@@ -52,7 +52,7 @@ class Batch:
 
 
 class BatchLoader:
-    """Iterates an ILDataset in orientation-bucketed, static-shape batches."""
+    """Iterates an ILDataset in frame-bucketed, static-shape batches."""
 
     def __init__(
         self,
@@ -88,7 +88,7 @@ class BatchLoader:
 
     # ------------------------------------------------------------------
     def _bucketed_batches(self) -> List[List[int]]:
-        """Group indices into batches of a single orientation.
+        """Group indices into batches of a single canonical frame.
 
         Mirrors the intent of AspectRatioBasedSampler (dataloader.py:459-485):
         aspect-homogeneous batches; group order shuffled per epoch. Short
@@ -175,15 +175,9 @@ class BatchLoader:
 
     # ------------------------------------------------------------------
     def __len__(self) -> int:
-        # batches are per-orientation, so count each bucket separately
-        n = len(self.dataset)
-        land = sum(
-            1 for i in range(n) if self.dataset.image_aspect_ratio(i) >= 1.0
-        )
-        port = n - land
-        if self.drop_last:
-            return land // self.batch_size + port // self.batch_size
-        return sum(-(-b // self.batch_size) for b in (land, port) if b)
+        # one source of truth: the same frame-grouped batching __iter__
+        # uses (count is independent of the per-epoch shuffle)
+        return len(self._bucketed_batches())
 
     def __iter__(self) -> Iterator[Batch]:
         batches = self._bucketed_batches()

@@ -29,13 +29,6 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 
-def canonical_shape(h: int, w: int, height: int, width: int) -> Tuple[int, int]:
-    """Canonical padded frame for an image: landscape or portrait bucket."""
-    if w >= h:
-        return (height, width)
-    return (width, height)
-
-
 def pick_canonical(
     nh: int, nw: int, height: int, width: int,
     buckets: Tuple[Tuple[int, int], ...] = (),

@@ -95,4 +95,7 @@ def as_anchor_provider(anchors):
     """
     if callable(anchors):
         return anchors
-    return lambda images: anchors
+    import jax.numpy as jnp
+
+    arr = jnp.asarray(anchors)   # hoist the host->device transfer once
+    return lambda images: arr

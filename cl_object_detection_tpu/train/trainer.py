@@ -114,8 +114,9 @@ class ILTrainer:
         # model ---------------------------------------------------------
         h, w = cfg.data.height, cfg.data.width
         self._anchors_cache: Dict[Any, Any] = {}
-        self.anchors_land = self._anchors_at(h, w)
-        self.anchors_port = self._anchors_at(w, h)
+        # warm the default frames (anchors_for serves any frame on demand)
+        self._anchors_at(h, w)
+        self._anchors_at(w, h)
 
         # cross-state resume (reference main.py:46-49, 82): entering state
         # k at epoch 1 starts from state k-1's newest checkpoint with the

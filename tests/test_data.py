@@ -157,14 +157,18 @@ def test_shape_buckets(tmp_path):
     states = ILStates(list(coco.classes.values()), coco.classes_inverse, [5])
     ds = ILDataset(coco, states, os.path.join(root, "images"), split="train",
                    start_state=0)
+    # toy 3:4 images resize to 56x75 at min_side=56: the (64, 80) bucket
+    # FITS (75 <= 80) so the loader must route there, not the fallback
     cfg = DataConfig(batch_size=2, min_side=56, max_side=96, height=64,
-                     width=96, max_boxes=8, shape_buckets=((64, 64),))
+                     width=96, max_boxes=8, shape_buckets=((64, 80),))
+    loader = BatchLoader(ds, cfg, shuffle=False, augment=False)
     seen = set()
-    for b in BatchLoader(ds, cfg, shuffle=False, augment=False):
+    nb = 0
+    for b in loader:
         assert b.images.shape[0] == 2
         seen.add(b.images.shape[1:3])
-    # toy images are 3:4 / 4:3 -> resized ~72x96 / 96x72 exceed the 64x64
-    # bucket only in one dim... every shape seen must be one of the four
-    allowed = {(64, 96), (96, 64), (64, 64)}
-    assert seen <= allowed, seen
-    assert len(seen) >= 1
+        nb += 1
+    assert (64, 80) in seen or (80, 64) in seen, f"bucket never hit: {seen}"
+    assert seen <= {(64, 80), (80, 64), (64, 96), (96, 64)}, seen
+    # __len__ must agree with the frame-grouped batching it iterates
+    assert len(loader) == nb, (len(loader), nb)

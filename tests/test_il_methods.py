@@ -153,7 +153,10 @@ def test_anchor_provider_orientation_regression():
     land = anchors_for_shape(64, 96)
     port = anchors_for_shape(96, 64)
     const = as_anchor_provider(land)
-    assert const(np.zeros((1, 96, 64, 3))) is land
+    a1 = const(np.zeros((1, 96, 64, 3)))
+    a2 = const(np.zeros((1, 64, 96, 3)))
+    assert a1 is a2                      # device transfer hoisted once
+    np.testing.assert_array_equal(np.asarray(a1), land)
     fn = lambda images: land
     assert as_anchor_provider(fn) is fn
 
