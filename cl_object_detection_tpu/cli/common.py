@@ -63,6 +63,9 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--alpha", type=float, default=0.25)
     p.add_argument("--gamma", type=float, default=2.0)
     p.add_argument("--record", type=str2bool, default=True)
+    p.add_argument("--profile", default=None,
+                   help="capture a jax.profiler trace of epoch 2 into DIR "
+                        "(view in TensorBoard/Perfetto)")
     p.add_argument("--debug", type=str2bool, default=False)
     p.add_argument("--val", type=str2bool, default=False)
     # warm up
@@ -234,6 +237,7 @@ def args_to_config(a: argparse.Namespace) -> TrainConfig:
         end_epoch=a.end_epoch,
         checkpoint_dir=os.path.join(a.root_dir, "checkpoint"),
         record=a.record,
+        profile_dir=a.profile,
         description=a.description,
         debug=a.debug,
         val_after_train=a.val,

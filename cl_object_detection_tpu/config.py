@@ -303,6 +303,9 @@ class TrainConfig:
                                        # a background thread (atomic rename)
                                        # so the train loop never stalls
     record: bool = True                # TensorBoard recording
+    profile_dir: Optional[str] = None  # capture a jax.profiler trace of the
+                                       # SECOND training epoch (first epoch
+                                       # is compile-dominated) into this dir
     description: str = "None"
     debug: bool = False
     val_after_train: bool = False

@@ -51,6 +51,15 @@ def train_process(trainer: ILTrainer, recorder: Optional[Recorder] = None,
               f"{len(trainer.dataset_train)} train images")
 
         for cur_epoch in range(start_epoch, end_epoch + 1):
+            # profile the SECOND epoch of the first trained state (epoch 1
+            # is compile-dominated): jax.profiler trace for TensorBoard
+            profiling = (cfg.profile_dir
+                         and cur_state == start_state and cur_epoch == start_epoch + 1)
+            if profiling:
+                import jax
+
+                jax.profiler.start_trace(cfg.profile_dir)
+                print(f"profiler: tracing epoch {cur_epoch} -> {cfg.profile_dir}")
             trainer.cur_epoch = cur_epoch
             trainer.train_loader.set_epoch(cur_epoch)
             if trainer.replay_loader is not None:
@@ -161,6 +170,11 @@ def train_process(trainer: ILTrainer, recorder: Optional[Recorder] = None,
             print(f"Epoch {cur_epoch} done: mean loss "
                   f"{np.mean(epoch_loss) if epoch_loss else float('nan'):.4f} "
                   f"({time.time() - t_epoch:.1f}s)")
+            if profiling:
+                import jax
+
+                jax.profiler.stop_trace()
+                print(f"profiler: trace written to {cfg.profile_dir}")
 
         # final correction (train.py:323-331)
         if (not cfg.il.agem.enabled and trainer.replay_loader is not None
