@@ -24,8 +24,10 @@ from ..config import (
 )
 
 
-def _parse_shape_buckets(spec: str):
-    """Parse/validate 'HxW,HxW,...': landscape form (h <= w), dims %32."""
+def _parse_shape_buckets(spec: str, frame_h: int, frame_w: int):
+    """Parse/validate 'HxW,HxW,...': landscape form (h <= w), dims %32,
+    positive, and strictly smaller than the default frame (pick_canonical
+    only ever selects smaller frames — anything else is a silent no-op)."""
     out = []
     for part in spec.split(","):
         if not part:
@@ -33,13 +35,23 @@ def _parse_shape_buckets(spec: str):
         dims = part.split("x")
         if len(dims) != 2:
             raise SystemExit(f"--shape_buckets: '{part}' is not HxW")
-        h, w = (int(d) for d in dims)
+        try:
+            h, w = (int(d) for d in dims)
+        except ValueError:
+            raise SystemExit(f"--shape_buckets: '{part}' dims must be integers")
+        if h <= 0 or w <= 0:
+            raise SystemExit(f"--shape_buckets: '{part}' dims must be positive")
         if h > w:
             raise SystemExit(
                 f"--shape_buckets: '{part}' must be landscape form (h <= w);"
                 " portrait images use the transpose automatically")
         if h % 32 or w % 32:
             raise SystemExit(f"--shape_buckets: '{part}' dims must be %32")
+        if h * w >= frame_h * frame_w:
+            raise SystemExit(
+                f"--shape_buckets: '{part}' is not smaller than the default "
+                f"{frame_h}x{frame_w} frame and would never be selected; "
+                "raise --image_height/--image_width instead")
         out.append((h, w))
     return tuple(out)
 
@@ -184,7 +196,8 @@ def args_to_config(a: argparse.Namespace) -> TrainConfig:
             # resize targets must fit the canonical frame, else GT clips out
             min_side=a.min_side or max(a.image_height - 32, 32),
             max_side=a.max_side or a.image_width,
-            shape_buckets=_parse_shape_buckets(a.shape_buckets),
+            shape_buckets=_parse_shape_buckets(
+                a.shape_buckets, a.image_height, a.image_width),
             s2d_stem=a.s2d_stem,
         ),
         schedule=ScheduleConfig(

@@ -66,8 +66,14 @@ def main(argv=None):
     if a.start_epoch and a.start_epoch > 1:
         trainer.resume(cfg.il.start_state, a.start_epoch - 1)
 
-    train_process(trainer, recorder)
-    recorder.close()
+    try:
+        train_process(trainer, recorder)
+    finally:
+        # close a profiler trace left open by a mid-epoch exception
+        from ..utils.profiling import stop_trace_guarded
+
+        stop_trace_guarded()
+        recorder.close()
 
     if cfg.val_after_train:
         from .validate import run_validation

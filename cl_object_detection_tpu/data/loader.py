@@ -5,7 +5,7 @@ Replaces the reference's torch DataLoader + ragged ``collater`` +
 with a TPU-friendly design:
 
   * every batch has ONE static shape — images are bucketed by canonical frame (orientation, plus optional shape_buckets)
-    (landscape vs portrait) so only two compiled shapes ever exist;
+    (landscape vs portrait) so the compiled-shape count stays small: landscape/portrait defaults plus one per shape_bucket;
   * images come out NHWC float32 (XLA:TPU's preferred conv layout), GT is
     padded to ``max_boxes`` with -1 sentinels;
   * a background thread decodes/augments the next batches while the device
@@ -37,7 +37,10 @@ from .transforms import (compute_scale, hflip, normalize_image,
 @dataclass
 class Batch:
     """One static-shape training/eval batch (all arrays host numpy)."""
-    images: np.ndarray        # (B, H, W, 3) float32, normalized
+    images: np.ndarray        # (B, H, W, 3) float32, normalized —
+                              # or (B, H/2, W/2, 12) when
+                              # cfg.s2d_stem (use transforms.
+                              # logical_image_hw for the real size)
     boxes: np.ndarray         # (B, M, 4) xyxy in RESIZED pixels, -1 padded
     labels: np.ndarray        # (B, M) int32, -1 padded
     num_boxes: np.ndarray     # (B,) int32

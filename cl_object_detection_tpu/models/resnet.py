@@ -23,6 +23,8 @@ from typing import Any, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.pool_pallas import phase_pool  # XLA oracle for the s2d stem pool
+
 DEPTH_LAYERS = {
     18: ("basic", (2, 2, 2, 2)),
     34: ("basic", (3, 4, 6, 3)),
@@ -95,31 +97,6 @@ class StemConv(nn.Module):
         if bn_bias is not None:
             y4 = y4 + jnp.tile(bn_bias, 4).astype(y4.dtype)
         return y4
-
-
-def phase_pool(y4: jnp.ndarray) -> jnp.ndarray:
-    """3x3/2 pad-1 max-pool over a phase-packed conv output.
-
-    ``y4[..., (a*2+b)*64+o]`` = conv pixel (2i+a, 2j+b, o); pool output
-    (i, j) needs conv rows {2i-1, 2i, 2i+1} x cols {2j-1, 2j, 2j+1}.
-    The window is separable, so this factors into a row stage then a col
-    stage — 4 elementwise maxes + 2 whole shifts, all contiguous:
-
-      row:  ru[i] = max(A0[i], A1[i], A1[i-1])   (A = a-phase half)
-      col:  m[j]  = max(RB0[j], RB1[j], RB1[j-1]) (B = b-phase half of ru)
-    """
-    neg = jnp.asarray(-jnp.inf, y4.dtype)
-    a0 = y4[..., 0:128]          # conv row 2i,   both col phases
-    a1 = y4[..., 128:256]        # conv row 2i+1
-    a1_up = jnp.concatenate(
-        [jnp.full_like(a1[:, :1], neg), a1[:, :-1]], axis=1)  # row 2i-1
-    ru = jnp.maximum(jnp.maximum(a0, a1), a1_up)   # (B, H4, W4, 128)
-
-    b0 = ru[..., 0:64]           # conv col 2j
-    b1 = ru[..., 64:128]         # conv col 2j+1
-    b1_left = jnp.concatenate(
-        [jnp.full_like(b1[:, :, :1], neg), b1[:, :, :-1]], axis=2)
-    return jnp.maximum(jnp.maximum(b0, b1), b1_left)
 
 
 class FrozenBN(nn.Module):

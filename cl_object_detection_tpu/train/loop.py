@@ -52,13 +52,17 @@ def train_process(trainer: ILTrainer, recorder: Optional[Recorder] = None,
 
         for cur_epoch in range(start_epoch, end_epoch + 1):
             # profile the SECOND epoch of the first trained state (epoch 1
-            # is compile-dominated): jax.profiler trace for TensorBoard
-            profiling = (cfg.profile_dir
-                         and cur_state == start_state and cur_epoch == start_epoch + 1)
+            # is compile-dominated) — or the only epoch if there is just
+            # one. Guarded start/stop: cli.train closes a trace left open
+            # by a mid-epoch exception.
+            profile_epoch = (start_epoch + 1 if end_epoch > start_epoch
+                             else start_epoch)
+            profiling = (cfg.profile_dir and cur_state == start_state
+                         and cur_epoch == profile_epoch)
             if profiling:
-                import jax
+                from ..utils.profiling import start_trace_guarded
 
-                jax.profiler.start_trace(cfg.profile_dir)
+                start_trace_guarded(cfg.profile_dir)
                 print(f"profiler: tracing epoch {cur_epoch} -> {cfg.profile_dir}")
             trainer.cur_epoch = cur_epoch
             trainer.train_loader.set_epoch(cur_epoch)
@@ -171,9 +175,9 @@ def train_process(trainer: ILTrainer, recorder: Optional[Recorder] = None,
                   f"{np.mean(epoch_loss) if epoch_loss else float('nan'):.4f} "
                   f"({time.time() - t_epoch:.1f}s)")
             if profiling:
-                import jax
+                from ..utils.profiling import stop_trace_guarded
 
-                jax.profiler.stop_trace()
+                stop_trace_guarded()
                 print(f"profiler: trace written to {cfg.profile_dir}")
 
         # final correction (train.py:323-331)

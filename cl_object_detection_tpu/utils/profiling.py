@@ -54,3 +54,24 @@ class ThroughputMeter:
         if self._t0 is None or self._images == 0:
             return 0.0
         return self._images / (time.perf_counter() - self._t0)
+
+
+_TRACE_OPEN = False
+
+
+def start_trace_guarded(log_dir: str) -> None:
+    """Start a jax.profiler trace, tracking open state so an exception
+    anywhere up-stack can close it (stop_trace_guarded in a finally)."""
+    global _TRACE_OPEN
+    jax.profiler.start_trace(log_dir)
+    _TRACE_OPEN = True
+
+
+def stop_trace_guarded() -> bool:
+    """Stop the trace iff one is open; safe to call unconditionally."""
+    global _TRACE_OPEN
+    if not _TRACE_OPEN:
+        return False
+    _TRACE_OPEN = False
+    jax.profiler.stop_trace()
+    return True
