@@ -30,8 +30,9 @@ def main():
     from cl_object_detection_tpu.ops.nms import detect_batch
 
     H, W = 640, 1024          # canonical landscape eval shape
-    BATCH = 16   # sweep (tools/bench_sweep.py); 370 img/s here with
-                 # iterative NMS (was 305 with per-image Pallas NMS)
+    BATCH = 16   # sweep (tools/bench_sweep.py); 386 img/s here with
+                 # iterative NMS + approx top-k (370 exact, 305 with
+                 # per-image Pallas NMS)
     ITERS = 20
     # approx top-k: lax.approx_max_k pre-NMS candidate select (>=0.95
     # recall of exact over the 123k-anchor axis, tail candidates only;

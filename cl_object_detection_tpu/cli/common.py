@@ -75,6 +75,10 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--alpha", type=float, default=0.25)
     p.add_argument("--gamma", type=float, default=2.0)
     p.add_argument("--record", type=str2bool, default=True)
+    p.add_argument("--save_every", type=int, default=1,
+                   help="checkpoint every N epochs (+ always the final one);"
+                        " each save pulls the full model through the device"
+                        " transport")
     p.add_argument("--profile", default=None,
                    help="capture a jax.profiler trace of epoch 2 into DIR "
                         "(view in TensorBoard/Perfetto)")
@@ -250,6 +254,7 @@ def args_to_config(a: argparse.Namespace) -> TrainConfig:
         end_epoch=a.end_epoch,
         checkpoint_dir=os.path.join(a.root_dir, "checkpoint"),
         record=a.record,
+        save_every=a.save_every,
         profile_dir=a.profile,
         description=a.description,
         debug=a.debug,

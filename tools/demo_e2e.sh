@@ -23,26 +23,26 @@ python tools/make_toy_dataset.py --out "$ROOT/data" --train 24 --test 12
 echo "=== 2/4 joint training (upper bound)"
 python -m cl_object_detection_tpu.cli.train \
     --root_dir "$ROOT/run" --dataset "$ROOT/data" \
-    --scenario 5 --end_epoch 6 --depth 50 --pretrained false \
-    --batch_size 4 --lr 1e-4 --every_iter 1 --record false \
+    --scenario 5 --end_epoch 25 --depth 50 --pretrained false \
+    --batch_size 4 --lr 1e-3 --every_iter 1 --record false --save_every 5 \
     "${COMMON_SHAPE[@]}"
 python -m cl_object_detection_tpu.cli.validate \
     --root_dir "$ROOT/run" --dataset "$ROOT/data" \
-    --scenario 5 --state 0 --epoch 6 --save_upper_bound true \
+    --scenario 5 --state 0 --epoch 25 --save_upper_bound true \
     "${COMMON_SHAPE[@]}"
 
 echo "=== 3/4 incremental 3+2 (distill + replay + pseudo-labels)"
 python -m cl_object_detection_tpu.cli.train \
     --root_dir "$ROOT/run" --dataset "$ROOT/data" \
     --scenario 3 2 --start_state 0 --end_state 1 \
-    --end_epoch 4 --new_state_epoch 4 --depth 50 --pretrained false \
-    --batch_size 4 --lr 1e-4 --every_iter 1 --record false \
+    --end_epoch 10 --new_state_epoch 10 --depth 50 --pretrained false \
+    --batch_size 4 --lr 5e-4 --every_iter 1 --record false --save_every 5 \
     --distill true --sample_num 2 --sample_method herd \
     --persuado_label true \
     "${COMMON_SHAPE[@]}"
 python -m cl_object_detection_tpu.cli.validate \
     --root_dir "$ROOT/run" --dataset "$ROOT/data" \
-    --scenario 3 2 --state 1 --epoch 4 \
+    --scenario 3 2 --state 1 --epoch 10 \
     "${COMMON_SHAPE[@]}"
 
 echo "=== 4/4 detect CLI"
