@@ -24,7 +24,7 @@ echo "=== 2/4 joint training (upper bound)"
 python -m cl_object_detection_tpu.cli.train \
     --root_dir "$ROOT/run" --dataset "$ROOT/data" \
     --scenario 5 --end_epoch 25 --depth 50 --pretrained false \
-    --batch_size 4 --lr 1e-3 --every_iter 1 --record false --save_every 5 \
+    --batch_size 4 --lr 3e-4 --every_iter 1 --record false --save_every 5 \
     "${COMMON_SHAPE[@]}"
 python -m cl_object_detection_tpu.cli.validate \
     --root_dir "$ROOT/run" --dataset "$ROOT/data" \
@@ -36,7 +36,7 @@ python -m cl_object_detection_tpu.cli.train \
     --root_dir "$ROOT/run" --dataset "$ROOT/data" \
     --scenario 3 2 --start_state 0 --end_state 1 \
     --end_epoch 10 --new_state_epoch 10 --depth 50 --pretrained false \
-    --batch_size 4 --lr 5e-4 --every_iter 1 --record false --save_every 5 \
+    --batch_size 4 --lr 2e-4 --every_iter 1 --record false --save_every 5 \
     --distill true --sample_num 2 --sample_method herd \
     --persuado_label true \
     "${COMMON_SHAPE[@]}"
