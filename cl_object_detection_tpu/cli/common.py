@@ -152,6 +152,10 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--s2d_stem", type=str2bool, default=False,
                    help="host 2x2 space-to-depth batches for the "
                         "phase-packed stem conv")
+    p.add_argument("--transfer_dtype", default="float32",
+                   choices=["float32", "uint8"],
+                   help="uint8: ship raw 8-bit pixels and normalize on "
+                        "device — 4x less host->device infeed")
     p.add_argument("--min_side", type=int, default=None,
                    help="resize min-side target (default: image_height - 32)")
     p.add_argument("--max_side", type=int, default=None,
@@ -203,6 +207,7 @@ def args_to_config(a: argparse.Namespace) -> TrainConfig:
             shape_buckets=_parse_shape_buckets(
                 a.shape_buckets, a.image_height, a.image_width),
             s2d_stem=a.s2d_stem,
+            transfer_dtype=a.transfer_dtype,
         ),
         schedule=ScheduleConfig(
             lr=a.lr,

@@ -34,6 +34,11 @@ class ModelConfig:
     pretrained: Optional[str] = None   # path to converted backbone npz
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"    # MXU-friendly activations
+    input_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    input_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+                                       # on-device normalization stats for
+                                       # uint8 input batches (must match
+                                       # DataConfig.mean/std)
     remat: bool = False                # jax.checkpoint residual blocks:
                                        # ~2x activation memory reduction for
                                        # larger train batches, extra FLOPs
@@ -86,6 +91,11 @@ class DataConfig:
     s2d_stem: bool = False             # emit 2x2 space-to-depth batches
                                        # (B,H/2,W/2,12) for the phase-packed
                                        # stem conv (models/resnet.StemConv)
+    transfer_dtype: str = "float32"    # "uint8": skip host normalization,
+                                       # ship raw 8-bit pixels (4x less
+                                       # host->device infeed); the backbone
+                                       # normalizes on device with
+                                       # ModelConfig.input_mean/std
     use_data_ratio: float = 1.0        # truncate train set (dataloader.py:56-60)
     num_workers: int = 2
     prefetch: int = 2

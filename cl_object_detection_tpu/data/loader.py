@@ -140,7 +140,13 @@ class BatchLoader:
             img, boxes, cfg.min_side, cfg.max_side, cfg.height, cfg.width,
             buckets=cfg.shape_buckets,
         )
-        img = normalize_image(img, cfg.mean, cfg.std)
+        if cfg.transfer_dtype == "uint8":
+            # raw 8-bit pixels; the backbone normalizes on device
+            # (resize stays float — only the transfer quantizes, max
+            # error 0.5/255 per pixel)
+            img = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+        else:
+            img = normalize_image(img, cfg.mean, cfg.std)
         pboxes, plabels, n = pad_annotations(boxes, labels, cfg.max_boxes)
         if cfg.s2d_stem:
             # per-sample so the transpose runs inside the decode workers

@@ -189,6 +189,24 @@ def _stem_pool(x: jnp.ndarray, use_pallas: bool) -> jnp.ndarray:
     return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
 
+def _device_normalize(x, mean, std, dtype):
+    """On-device (x/255 - mean)/std for uint8 input batches
+    (DataConfig.transfer_dtype="uint8": ships 4x less infeed than
+    host-normalized float32). Handles both the RGB layout and the
+    space-to-depth layout (channels (row-phase, col-phase, c) — stats
+    tile 4x). Float inputs pass through untouched (already normalized on
+    host, transforms.normalize_image)."""
+    if x.dtype != jnp.uint8:
+        return x.astype(dtype)
+    c = x.shape[-1]
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    if c == 12:
+        mean, std = jnp.tile(mean, 4), jnp.tile(std, 4)
+    out = (x.astype(jnp.float32) / 255.0 - mean) / std
+    return out.astype(dtype)
+
+
 class ResNetBackbone(nn.Module):
     """Stem + 4 stages; returns (C3, C4, C5)."""
     depth: int = 50
@@ -199,6 +217,8 @@ class ResNetBackbone(nn.Module):
                                # reduce_window on the axon runtime (~30us
                                # fixed cost per grid program dominates a
                                # bandwidth-bound kernel); kept as an option
+    input_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    input_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -207,7 +227,7 @@ class ResNetBackbone(nn.Module):
         if self.remat:
             block = nn.remat(block)
 
-        x = x.astype(self.dtype)
+        x = _device_normalize(x, self.input_mean, self.input_std, self.dtype)
         if x.shape[-1] == 12:
             # space-to-depth stem: BN folded into the phase-packed conv
             # (so XLA fuses conv+bias+relu in one pass) -> factored

@@ -60,9 +60,13 @@ class RetinaNet(nn.Module):
     dtype: Any = jnp.float32
 
     remat: bool = False
+    input_mean: tuple = (0.485, 0.456, 0.406)
+    input_std: tuple = (0.229, 0.224, 0.225)
 
     def setup(self):
         self.backbone = ResNetBackbone(self.depth, self.dtype, self.remat,
+                                       input_mean=self.input_mean,
+                                       input_std=self.input_std,
                                        name="backbone")
         self.fpn = FPN(self.fpn_channels, self.dtype, name="fpn")
         self.regression_head = RegressionHead(
@@ -126,4 +130,6 @@ def create_retinanet(cfg: ModelConfig, num_classes: int) -> RetinaNet:
         head_layers=cfg.head_layers,
         dtype=jnp.dtype(cfg.compute_dtype),
         remat=cfg.remat,
+        input_mean=tuple(cfg.input_mean),
+        input_std=tuple(cfg.input_std),
     )

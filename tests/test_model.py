@@ -183,3 +183,53 @@ def test_s2d_full_model_detections_match():
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(reg_a), np.asarray(reg_b),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_uint8_transfer_on_device_normalize():
+    """DataConfig.transfer_dtype="uint8": the backbone normalizes raw
+    8-bit pixels on device; outputs match the host-normalized float path
+    exactly (same math, same order), for both RGB and s2d layouts."""
+    import jax
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.config import ModelConfig
+    from cl_object_detection_tpu.data.transforms import (
+        normalize_image,
+        space_to_depth,
+    )
+    from cl_object_detection_tpu.models import create_retinanet
+
+    rng = np.random.RandomState(0)
+    raw = rng.randint(0, 256, (1, 64, 96, 3)).astype(np.uint8)
+    f32 = normalize_image(raw.astype(np.float32)[0] / 255.0)[None]
+
+    model = create_retinanet(ModelConfig(depth=18, compute_dtype="float32"), 4)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))
+    a = model.apply(v, jnp.asarray(f32), enable_act=False)
+    b = model.apply(v, jnp.asarray(raw), enable_act=False)
+    c = model.apply(v, jnp.asarray(space_to_depth(raw)), enable_act=False)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(c[0]), atol=1e-4)
+
+
+def test_uint8_loader_batches(tmp_path):
+    import os
+
+    from cl_object_detection_tpu.config import DataConfig
+    from cl_object_detection_tpu.data.coco import CocoJson
+    from cl_object_detection_tpu.data.dataset import ILDataset
+    from cl_object_detection_tpu.data.loader import BatchLoader
+    from cl_object_detection_tpu.states import ILStates
+    from cl_object_detection_tpu.utils.toydata import make_toy_dataset
+
+    root = str(tmp_path)
+    j = make_toy_dataset(root, num_images=4)
+    coco = CocoJson(j)
+    states = ILStates(list(coco.classes.values()), coco.classes_inverse, [5])
+    ds = ILDataset(coco, states, os.path.join(root, "images"), split="train",
+                   start_state=0)
+    cfg = DataConfig(batch_size=2, min_side=56, max_side=96, height=64,
+                     width=96, max_boxes=8, transfer_dtype="uint8")
+    b = next(iter(BatchLoader(ds, cfg, shuffle=False, augment=False)))
+    assert b.images.dtype == np.uint8
+    assert b.images.max() > 1  # raw pixel range, not normalized
