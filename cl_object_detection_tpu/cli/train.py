@@ -62,9 +62,24 @@ def main(argv=None):
         description=cfg.description,
         enabled=cfg.record,
     )
-    # resume (main.py:67-71): start_epoch > 1 restores that state's ckpt
+    # resume (main.py:67-71): start_epoch > 1 restores that state's ckpt.
+    # With --save_every k>1 the exact epoch may be missing — fall back to
+    # the newest saved epoch <= start_epoch-1 and restart the loop there.
     if a.start_epoch and a.start_epoch > 1:
-        trainer.resume(cfg.il.start_state, a.start_epoch - 1)
+        actual = trainer.ckpt.nearest_epoch(
+            cfg.il.start_state, a.start_epoch - 1
+        )
+        if actual is None:
+            raise FileNotFoundError(
+                f"--start_epoch {a.start_epoch}: no checkpoint at or below "
+                f"epoch {a.start_epoch - 1} for state {cfg.il.start_state}"
+            )
+        if actual != a.start_epoch - 1:
+            print(f"--start_epoch {a.start_epoch}: epoch {a.start_epoch - 1} "
+                  f"not saved; resuming from epoch {actual}")
+            cfg = cfg.replace(start_epoch=actual + 1)
+            trainer.cfg = cfg
+        trainer.resume(cfg.il.start_state, actual)
 
     try:
         train_process(trainer, recorder)

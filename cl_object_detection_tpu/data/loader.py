@@ -130,7 +130,7 @@ class BatchLoader:
         nh, nw = int(round(h * scale)), int(round(w * scale))
         return pick_canonical(nh, nw, cfg.height, cfg.width, cfg.shape_buckets)
 
-    def _make_example(self, idx: int, rng: np.random.RandomState):
+    def _make_example(self, idx: int, rng: np.random.RandomState, frame=None):
         ds, cfg = self.dataset, self.cfg
         img = ds.load_image(idx)
         boxes, labels, num_pseudo = ds.load_annotations(idx)
@@ -138,7 +138,7 @@ class BatchLoader:
             img, boxes = hflip(img, boxes)
         img, boxes, scale = resize_and_pad(
             img, boxes, cfg.min_side, cfg.max_side, cfg.height, cfg.width,
-            buckets=cfg.shape_buckets,
+            buckets=cfg.shape_buckets, frame=frame,
         )
         if cfg.transfer_dtype == "uint8":
             # raw 8-bit pixels; the backbone normalizes on device
@@ -155,6 +155,12 @@ class BatchLoader:
         return img, pboxes, plabels, n, num_pseudo, scale, ds.image_ids[idx]
 
     def _assemble(self, group: Sequence[int], epoch: int) -> Batch:
+        # the whole group shares one metadata-derived frame by construction
+        # (_bucketed_batches keys on it); forcing it into every example
+        # keeps the stack static even if a decoded file disagrees with its
+        # COCO-json height/width metadata
+        frame = self._canonical_of(group[0])
+
         def make(slot_idx):
             slot, i = slot_idx
             # pure function of (seed, epoch, image, slot): augmentations do
@@ -163,7 +169,7 @@ class BatchLoader:
                 (1000003 * self.seed + 7919 * epoch + 131 * int(i) + slot)
                 % (2 ** 31)
             )
-            return self._make_example(i, rng)
+            return self._make_example(i, rng, frame=frame)
 
         if self.num_workers and self.num_workers > 1:
             if self._pool is None:
@@ -184,9 +190,26 @@ class BatchLoader:
 
     # ------------------------------------------------------------------
     def __len__(self) -> int:
-        # one source of truth: the same frame-grouped batching __iter__
-        # uses (count is independent of the per-epoch shuffle)
-        return len(self._bucketed_batches())
+        # same frame-grouped count as __iter__'s batching (wrap-around fill
+        # keeps short groups, so the count is ceil per group — independent
+        # of the per-epoch shuffle). Computed without RNG/shuffling and
+        # cached on the dataset's id list, since callers use len() per
+        # epoch (progress bars, A-GEM averaging).
+        ids = self.dataset.image_ids
+        key = (len(ids), hash(tuple(ids)), self.batch_size, self.drop_last)
+        cached = getattr(self, "_len_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        sizes: Dict = {}
+        for i in range(len(self.dataset)):
+            k = self._canonical_of(i)
+            sizes[k] = sizes.get(k, 0) + 1
+        if self.drop_last:
+            n = sum(sz // self.batch_size for sz in sizes.values())
+        else:
+            n = sum(-(-sz // self.batch_size) for sz in sizes.values())
+        self._len_cache = (key, n)
+        return n
 
     def __iter__(self) -> Iterator[Batch]:
         batches = self._bucketed_batches()

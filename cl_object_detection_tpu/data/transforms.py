@@ -70,19 +70,25 @@ def resize_and_pad(
     height: int,
     width: int,
     buckets: Tuple[Tuple[int, int], ...] = (),
+    frame: Tuple[int, int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Resize (bilinear) + zero-pad into the canonical frame.
 
     Args:
       image: (H, W, 3) float32 in [0, 1].
       boxes: (N, 4) xyxy in source pixels.
+      frame: force this canonical (h, w) instead of re-deriving it from the
+        decoded shape — the batch loader passes its metadata-derived group
+        frame so a metadata/file disagreement (EXIF rotation) cannot land
+        one example of a batch in a different frame and break np.stack.
     Returns:
       (padded image (Hc, Wc, 3), scaled boxes, scale).
     """
     h, w = image.shape[:2]
     scale = compute_scale(h, w, min_side, max_side)
     nh, nw = int(round(h * scale)), int(round(w * scale))
-    ch, cw = pick_canonical(nh, nw, height, width, buckets)
+    ch, cw = frame if frame is not None else pick_canonical(
+        nh, nw, height, width, buckets)
     nh, nw = min(nh, ch), min(nw, cw)
 
     if cv2 is not None:

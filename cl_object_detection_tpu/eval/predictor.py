@@ -125,10 +125,13 @@ def make_sharded_predict_fn(
     base = make_predict_fn(model, predict_cfg, bic_correct)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    placed = [None, None]  # replicate the variables tree once, not per batch
 
     def predict(variables, images):
-        variables = jax.device_put(variables, repl)
+        if placed[0] is not variables:
+            placed[0] = variables
+            placed[1] = jax.device_put(variables, repl)
         images = jax.device_put(images, data)
-        return base(variables, images)
+        return base(placed[1], images)
 
     return predict

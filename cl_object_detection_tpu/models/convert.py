@@ -173,14 +173,31 @@ def _map_full_key(torch_key: str) -> Tuple[Tuple[str, ...], str, str]:
     return ("backbone",) + path, pname, coll
 
 
-def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
+def _load_state_dict(path: str, allow_pickle: bool = False) -> Dict[str, np.ndarray]:
     """Read a torch ``.pt``/``.pth`` (optionally a reference checkpoint dict
-    holding ``model_state_dict``) or a flat ``.npz``."""
+    holding ``model_state_dict``) or a flat ``.npz``.
+
+    Reference checkpoints are plain tensor state dicts
+    (/root/reference/preprocessing/params.py:307-322), so the safe
+    ``weights_only=True`` load covers the advertised use case. Arbitrary
+    pickled objects (a whole-module ``torch.save(model)``) only load behind
+    the explicit ``allow_pickle=True`` opt-in — unpickling executes code
+    from the file."""
     if path.endswith(".npz"):
         return dict(np.load(path))
     import torch
 
-    raw = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:
+        if not allow_pickle:
+            raise ValueError(
+                f"{path} is not a tensors-only state dict "
+                f"(weights_only load failed: {e}); if you trust this file, "
+                "pass allow_pickle=True (CLI: --trust_torch_ckpt) to permit "
+                "full unpickling, which executes code embedded in the file"
+            ) from e
+        raw = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(raw, dict) and "model_state_dict" in raw:
         raw = raw["model_state_dict"]          # params.py:307-322 layout
     if hasattr(raw, "state_dict"):
@@ -189,7 +206,7 @@ def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 def load_reference_checkpoint(
-    variables: Dict, path: str, strict: bool = True
+    variables: Dict, path: str, strict: bool = True, allow_pickle: bool = False
 ) -> Dict:
     """Merge a reference-trained full-model checkpoint into flax variables.
 
@@ -202,7 +219,7 @@ def load_reference_checkpoint(
     import jax
     import jax.numpy as jnp
 
-    sd = _load_state_dict(path)
+    sd = _load_state_dict(path, allow_pickle=allow_pickle)
     out = copy.deepcopy(
         {"params": dict(variables["params"]),
          "batch_stats": dict(variables["batch_stats"])}

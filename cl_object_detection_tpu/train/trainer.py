@@ -144,11 +144,16 @@ class ILTrainer:
             }
         elif (
             start_epoch > 1
-            and self.ckpt.latest_epoch(self.cur_state) is not None
+            and self.ckpt.nearest_epoch(self.cur_state, start_epoch - 1)
+            is not None
         ):
             # mid-state resume (main.py:70-71): restore before tool init so
-            # herding/similarity/pseudo-labels run on trained weights
-            tree, _ = self.ckpt.restore(self.cur_state, start_epoch - 1)
+            # herding/similarity/pseudo-labels run on trained weights. With
+            # --save_every k>1 the exact epoch may not exist — fall back to
+            # the newest saved epoch <= start_epoch-1 (cli.train then
+            # restarts the loop from that epoch + 1).
+            resume_epoch = self.ckpt.nearest_epoch(self.cur_state, start_epoch - 1)
+            tree, _ = self.ckpt.restore(self.cur_state, resume_epoch)
             variables = {
                 "params": jax.tree.map(jnp.asarray, tree["params"]),
                 "batch_stats": jax.tree.map(jnp.asarray, tree["batch_stats"]),
@@ -731,7 +736,17 @@ class ILTrainer:
         """Restore params + optimizer state (the reference restores
         model/optimizer/scheduler on mid-state resume, params.py:282-305).
         The optimizer tree restores INTO the live structure so optax
-        NamedTuple states keep their types."""
+        NamedTuple states keep their types. A requested epoch that was
+        never saved (save_every > 1 / retention) falls back to the newest
+        saved epoch below it."""
+        if epoch >= 0 and epoch not in self.ckpt.epochs(state):
+            nearest = self.ckpt.nearest_epoch(state, epoch)
+            if nearest is None:
+                raise FileNotFoundError(
+                    f"no checkpoint at or below epoch {epoch} for state {state}"
+                )
+            print(f"resume: epoch {epoch} not saved; using epoch {nearest}")
+            epoch = nearest
         target = {
             "params": self.train_state.params,
             "batch_stats": self.train_state.batch_stats,

@@ -66,6 +66,12 @@ class CheckpointManager:
         eps = self.epochs(state)
         return eps[-1] if eps else None
 
+    def nearest_epoch(self, state: int, upto: int) -> Optional[int]:
+        """Newest saved epoch <= ``upto`` — resume fallback when the exact
+        checkpoint was skipped by ``save_every`` or pruned by retention."""
+        eps = [e for e in self.epochs(state) if e <= upto]
+        return eps[-1] if eps else None
+
     # ------------------------------------------------------------------
     def wait(self) -> None:
         """Block until any in-flight async save has finished (and re-raise
