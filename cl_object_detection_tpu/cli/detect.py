@@ -50,6 +50,9 @@ def main(argv=None):
     parser.add_argument("--epoch", type=int, default=-1)
     parser.add_argument("--depth", type=int, default=50)
     parser.add_argument("--score_thresh", type=float, default=0.5)
+    parser.add_argument("--bic", action="store_true",
+                        help="apply the checkpoint's BiC bias correction "
+                             "(reference model.py:504-505)")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--torch_ckpt", default=None,
                         help="a REFERENCE-trained .pt checkpoint (or its "
@@ -76,6 +79,7 @@ def main(argv=None):
     from ..utils.checkpoint import CheckpointManager
 
     class_names = load_class_list(a.class_list, a.train_json)
+    bic_correct = None
     if a.torch_ckpt:
         from ..models.convert import load_reference_checkpoint
 
@@ -83,6 +87,8 @@ def main(argv=None):
         model = create_retinanet(ModelConfig(depth=a.depth), num_classes)
         init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
         variables = load_reference_checkpoint(init, a.torch_ckpt)
+        if a.bic:
+            print("warning: --bic ignored for --torch_ckpt (no meta)")
     else:
         ckpt = CheckpointManager(
             os.path.join(a.root_dir, "checkpoint"), a.scenario)
@@ -93,7 +99,17 @@ def main(argv=None):
             "params": jax.tree.map(jnp.asarray, tree["params"]),
             "batch_stats": jax.tree.map(jnp.asarray, tree["batch_stats"]),
         }
-    predict = make_predict_fn(model, PredictConfig())
+        if a.bic:
+            from ..il.bic import bic_correct_from_meta
+
+            # per-state new-class counts ride in the scenario flag; the
+            # knowing count comes from the checkpoint meta
+            counts = [int(s) if str(s).isdigit() else 1 for s in a.scenario]
+            bic_correct = bic_correct_from_meta(il_meta, counts, num_classes)
+            if bic_correct is None:
+                print("warning: --bic requested but the checkpoint carries "
+                      "no BiC state")
+    predict = make_predict_fn(model, PredictConfig(), bic_correct=bic_correct)
     dcfg = DataConfig()
 
     os.makedirs(a.out_dir, exist_ok=True)

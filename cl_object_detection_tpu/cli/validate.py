@@ -23,6 +23,9 @@ def get_parser():
     from .common import add_train_flags, str2bool
 
     add_train_flags(parser)
+    # NB: --bic comes from add_train_flags; on the validate CLI it means
+    # "apply the checkpoint's BiC bias correction at inference" (reference
+    # validation.py:36, evaluator.py:305-308)
     parser.add_argument("--state", type=int, default=0)
     parser.add_argument("--epoch", type=int, nargs="+", default=[-1])
     parser.add_argument("--threshold", type=float, default=0.05)
@@ -80,16 +83,21 @@ def run_validation(a, state: Optional[int] = None, epochs: Optional[List[int]] =
         "_".join(str(s) for s in cfg.il.scenario), f"state{state}",
     )
     os.makedirs(result_dir, exist_ok=True)
+    _copy_run_artifacts(ckpt.state_dir(state), result_dir)
 
+    use_bic = getattr(a, "bic", False)
     results = {}
     for epoch in epochs:
         if epoch == -1:
             epoch = ckpt.latest_epoch(state)
-        json_out = os.path.join(result_dir, f"{a.dataset}_results_epoch{epoch}.json")
+        suffix = "_bic" if use_bic else ""
+        json_out = os.path.join(
+            result_dir, f"{a.dataset}_results_epoch{epoch}{suffix}.json")
         if getattr(a, "just_val", False) and os.path.exists(json_out):
             with open(json_out) as f:
                 rows = json.load(f)
         else:
+            bic_correct = None
             if getattr(a, "torch_ckpt", None):
                 import jax
 
@@ -98,13 +106,25 @@ def run_validation(a, state: Optional[int] = None, epochs: Optional[List[int]] =
                 init = model.init(
                     jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
                 variables = load_reference_checkpoint(init, a.torch_ckpt)
+                if use_bic:
+                    print("warning: --bic ignored for --torch_ckpt (no meta)")
             else:
-                tree, _ = ckpt.restore(state, epoch)
+                tree, il_meta = ckpt.restore(state, epoch)
                 variables = {
                     "params": jnp_tree(tree["params"]),
                     "batch_stats": jnp_tree(tree["batch_stats"]),
                 }
-            rows = evaluator.predict_dataset(model, variables, progress=True)
+                if use_bic:
+                    from ..il.bic import bic_correct_from_meta
+
+                    counts = [s.num_new_class for s in states.states]
+                    bic_correct = bic_correct_from_meta(
+                        il_meta, counts, num_classes)
+                    if bic_correct is None:
+                        print(f"warning: --bic requested but the epoch "
+                              f"{epoch} checkpoint carries no BiC state")
+            rows = evaluator.predict_dataset(model, variables, progress=True,
+                                             bic_correct=bic_correct)
             with open(json_out, "w") as f:
                 json.dump(rows, f)
         res = evaluator.evaluate(rows, getattr(a, "ignore_other_img", False))
@@ -118,7 +138,8 @@ def run_validation(a, state: Optional[int] = None, epochs: Optional[List[int]] =
         save_upper_bound(ub_path, results[max(results)])
         print(f"saved upper bound to {ub_path}")
 
-    csv_name = "val_result_" + "_".join(str(e) for e in sorted(results)) + ".csv"
+    csv_name = ("val_result_" + "_".join(str(e) for e in sorted(results))
+                + ("_bic" if use_bic else "") + ".csv")
     decline_csv(
         results,
         states[state].knowing_names,
@@ -127,7 +148,68 @@ def run_validation(a, state: Optional[int] = None, epochs: Optional[List[int]] =
         out_path=os.path.join(result_dir, csv_name),
     )
     print(f"wrote {os.path.join(result_dir, csv_name)}")
+    _write_hparams_summary(a, cfg, state, results)
     return results
+
+
+def _copy_run_artifacts(state_dir: str, result_dir: str) -> None:
+    """Copy the training run's config + exemplar artifacts next to the
+    results (reference validation.py:56-72 copies params.txt /
+    il_hparams.pickle / examplar.txt / examplar.png into the result dir)."""
+    import shutil
+
+    for name in ("params.json", "examplar.txt", "examplar.png"):
+        src = os.path.join(state_dir, name)
+        if os.path.exists(src):
+            shutil.copy2(src, os.path.join(result_dir, name))
+
+
+def _write_hparams_summary(a, cfg, state: int, results) -> None:
+    """TensorBoard hparams + final-metric summary (reference
+    validation.py:89-102, evaluator.py:44-82): one hparams entry per
+    validation run keyed by the IL-method knobs, with the newest epoch's
+    mAP/AR as the metrics."""
+    if not results or not getattr(a, "record", True):
+        return
+    from ..utils.recorder import Recorder
+
+    best_epoch = max(results)
+    res = results[best_epoch]
+    il = cfg.il
+    hparams = {
+        "scenario": "_".join(str(s) for s in il.scenario),
+        "state": state,
+        "epoch": best_epoch,
+        "bic": bool(getattr(a, "bic", False)),
+        "distill": il.distill.enabled,
+        "distill_logits": il.distill.logits,
+        "sample_num": il.replay.sample_num,
+        "sample_method": il.replay.sample_method,
+        "mix_data": il.replay.mix_data,
+        "enhance_error": il.replay.enhance_error,
+        "mas": il.mas.enabled,
+        "agem": il.agem.enabled,
+        "bic_trained": il.bic.enabled,
+        "pseudo_label": il.pseudo.enabled,
+        "prototype_loss": il.prototype.loss,
+        "classifier_loss": il.classifier_loss,
+        "init_method": il.init_method,
+        "depth": cfg.model.depth,
+        "lr": cfg.schedule.lr,
+        "threshold": getattr(a, "threshold", 0.05),
+    }
+    metrics = {
+        "hparam/mAP50": float(res.mean_ap50),
+        "hparam/mean_recall": float(res.mean_recall),
+    }
+    rec = Recorder(
+        log_root=os.path.join(a.root_dir, "runs"),
+        scenario_tag="val_" + hparams["scenario"] + f"_state{state}",
+        description=getattr(a, "description", "None"),
+        enabled=True,
+    )
+    rec.add_hparams(hparams, metrics)
+    rec.close()
 
 
 def jnp_tree(tree):

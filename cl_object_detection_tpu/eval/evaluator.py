@@ -54,17 +54,23 @@ class Evaluator:
 
     # ------------------------------------------------------------------
     def predict_dataset(self, model, variables, progress: bool = False,
-                        mesh=None) -> List[dict]:
+                        mesh=None, bic_correct=None) -> List[dict]:
         """Run batched inference over the whole split; returns COCO result
         rows (deduped — the static loader wraps short batches).
 
         ``mesh``: optional device mesh — shards each batch over the
         ``data`` axis for multi-chip DP eval (the batch size must be a
-        multiple of the data-axis size; same results, N-chip rate)."""
+        multiple of the data-axis size; same results, N-chip rate).
+
+        ``bic_correct``: optional logits->logits closure (BiC bias
+        correction, il.bic.bic_correct_from_meta) applied pre-sigmoid like
+        the reference Bic_Evaluator (evaluator.py:305-308, 323-324)."""
         if mesh is not None:
-            predict = make_sharded_predict_fn(model, self.predict_cfg, mesh)
+            predict = make_sharded_predict_fn(model, self.predict_cfg, mesh,
+                                              bic_correct=bic_correct)
         else:
-            predict = make_predict_fn(model, self.predict_cfg)
+            predict = make_predict_fn(model, self.predict_cfg,
+                                      bic_correct=bic_correct)
         seen: set = set()
         results: List[dict] = []
         it = self.loader
@@ -96,8 +102,10 @@ class Evaluator:
         result_dir: Optional[str] = None,
         epoch: int = 0,
         dataset_name: str = "voc2007",
+        bic_correct=None,
     ) -> EvalResult:
-        results = self.predict_dataset(model, variables)
+        results = self.predict_dataset(model, variables,
+                                       bic_correct=bic_correct)
         if result_dir:
             os.makedirs(result_dir, exist_ok=True)
             path = os.path.join(result_dir, f"{dataset_name}_results_epoch{epoch}.json")

@@ -66,6 +66,22 @@ def make_bic_correct(new_class_counts: Sequence[int], num_knowing: int):
     return correct
 
 
+def bic_correct_from_meta(il_meta, new_class_counts: Sequence[int],
+                          num_knowing: int):
+    """Build the inference-time correction closure from a checkpoint's
+    ``il_meta['bic']`` alphas/betas — the reference ``Bic_Evaluator``
+    applied inside ``model.predict`` (model.py:504-505) and at eval
+    (evaluator.py:305-308, 323-324; it loads a per-epoch ``bic_<e>.pt``,
+    here the scalars ride in each checkpoint's meta). Returns None when
+    the checkpoint carries no BiC state."""
+    if not il_meta or "bic" not in il_meta:
+        return None
+    alphas = jnp.asarray(il_meta["bic"]["alphas"], jnp.float32)
+    betas = jnp.asarray(il_meta["bic"]["betas"], jnp.float32)
+    correct = make_bic_correct(new_class_counts, num_knowing)
+    return lambda logits: correct(logits, alphas, betas)
+
+
 class BicTrainer:
     """Post-epoch bias-layer training over the held-out loader."""
 

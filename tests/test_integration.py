@@ -139,6 +139,45 @@ def test_incremental_multimethod_sweep(toy, tmp_path):
     # mas importance sidecar cached
     assert trainer.ckpt.load_array_sidecar(0, "mas_importance") is not None
 
+    # --- BiC correction is APPLIED at inference (reference model.py:504-505,
+    # evaluator.py:305-308): corrected predictions differ from uncorrected,
+    # and the decline CSV built from them differs too.
+    from cl_object_detection_tpu.eval.report import decline_csv
+    from cl_object_detection_tpu.il.bic import bic_correct_from_meta
+
+    ev = Evaluator(
+        trainer.coco, trainer.states, os.path.join(toy, "images"),
+        cfg.data, PredictConfig(max_detections=50, score_thresh=1e-4),
+        state_index=1, eval_on_train=True,
+    )
+    counts = [s.num_new_class for s in trainer.states.states]
+
+    # the TRAINED (alpha, beta) from the checkpoint meta changes scores
+    bc = bic_correct_from_meta(meta, counts, trainer.num_classes)
+    assert bc is not None
+    rows_plain = ev.predict_dataset(trainer.model, trainer.variables())
+    rows_bic = ev.predict_dataset(trainer.model, trainer.variables(),
+                                  bic_correct=bc)
+    new_ids = set(trainer.states[1].new_ids)
+    s_plain = sorted(r["score"] for r in rows_plain
+                     if r["category_id"] in new_ids)
+    s_bic = sorted(r["score"] for r in rows_bic
+                   if r["category_id"] in new_ids)
+    assert s_plain and s_bic and s_plain != s_bic
+
+    # an amplified correction visibly moves the decline CSV
+    bc_amp = bic_correct_from_meta(
+        {"bic": {"alphas": [3.0], "betas": [4.0]}}, counts,
+        trainer.num_classes)
+    rows_amp = ev.predict_dataset(trainer.model, trainer.variables(),
+                                  bic_correct=bc_amp)
+    res_plain = ev.evaluate(rows_plain)
+    res_amp = ev.evaluate(rows_amp)
+    names = trainer.states[1].knowing_names
+    csv_plain = decline_csv({1: res_plain}, names, 3)
+    csv_amp = decline_csv({1: res_amp}, names, 3)
+    assert csv_plain != csv_amp
+
 
 def test_incremental_prototype_and_classifier_loss(toy, tmp_path):
     """Prototype anchoring + prototype-herd sampling + classifier-sim loss."""
