@@ -4,11 +4,15 @@ gradient accumulation — the reference's torch optimizer semantics
 train/il_trainer.py:29-43) rebuilt on optax.
 
 Structure:
-  MultiSteps(every_iter)                  # grad accumulation (train.py:48,71)
-    └─ chain(clip_by_global_norm(0.1),    # train.py:54-55
-             multi_transform(
-               backbone: inject_hyperparams(adam),
-               output:   inject_hyperparams(adam)))   # 2 groups, main.py:57-59
+  chain(clip_by_global_norm(0.1),         # train.py:54-55
+        multi_transform(
+          backbone: inject_hyperparams(adam),
+          output:   inject_hyperparams(adam)))   # 2 groups, main.py:57-59
+
+Gradient accumulation (every_iter, train.py:48,71) is NOT here: the train
+step accumulates explicitly (train/state.py docstring — clip/warm-mask/
+A-GEM act on the accumulated gradient) and calls ``tx.update`` once per
+applied step, so an optax.MultiSteps wrap would accumulate a second time.
 
 ``inject_hyperparams`` turns learning_rate/b1 into optimizer-state leaves,
 so the host can do MultiStepLR decay per epoch and the per-batch Adam-beta1
@@ -51,8 +55,9 @@ def param_labels(params) -> Any:
 
 
 def make_optimizer(cfg: ScheduleConfig, params, use_clip: bool = True):
-    """Returns the gradient transformation (wrap in MultiSteps if
-    cfg.every_iter > 1)."""
+    """Returns the gradient transformation. ``cfg.every_iter`` deliberately
+    does NOT wrap optax.MultiSteps — the train step owns accumulation (see
+    module docstring); wrapping here would accumulate twice."""
     def adam_group():
         return optax.inject_hyperparams(optax.adam)(
             learning_rate=cfg.lr, b1=cfg.beta1, b2=cfg.beta2
@@ -65,10 +70,7 @@ def make_optimizer(cfg: ScheduleConfig, params, use_clip: bool = True):
     if use_clip and cfg.grad_clip > 0:
         parts.append(optax.clip_by_global_norm(cfg.grad_clip))
     parts.append(groups)
-    tx = optax.chain(*parts)
-    if cfg.every_iter > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=cfg.every_iter)
-    return tx
+    return optax.chain(*parts)
 
 
 def lr_at_epoch(cfg: ScheduleConfig, epoch: int) -> float:

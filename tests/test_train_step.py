@@ -93,6 +93,34 @@ def test_grad_accumulation(setup):
     assert changed
 
 
+def test_no_double_accumulation_with_default_schedule(setup):
+    """Regression: make_optimizer(every_iter=2 schedule) must NOT wrap
+    MultiSteps — the step already accumulates, so the trainer's optimizer
+    would otherwise apply only every every_iter^2 micro-steps."""
+    model, _, anchors, _ = setup
+    sched = ScheduleConfig(lr=1e-4, every_iter=2)
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, H, W, 3)))
+    tx = make_optimizer(sched, variables["params"], use_clip=False)
+    state = TrainState.create(
+        params=variables["params"], batch_stats=variables["batch_stats"], tx=tx
+    )
+    statics = LossStatics(num_classes=C)
+    step = make_train_step(
+        model, None, anchors, ILConfig(), FocalConfig(), statics,
+        StepStatics(every_iter=2, use_clip=False), donate=False,
+    )
+    images, boxes, labels = make_batch()
+    p0 = jax.tree.map(np.asarray, state.params)
+    state, _ = step(state, images, boxes, labels)
+    state, _ = step(state, images, boxes, labels)
+    # the SECOND micro-step must apply a real (nonzero) update
+    changed = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(state.params))
+    )
+    assert changed, "optimizer accumulated twice (MultiSteps + in-step)"
+
+
 def test_warm_classifier_masking(setup):
     model, state, anchors, sched = setup
     statics = LossStatics(num_classes=C)
