@@ -13,6 +13,7 @@ from ..config import (
     FocalConfig,
     ILConfig,
     MASConfig,
+    MeshConfig,
     ModelConfig,
     PredictConfig,
     PrototypeConfig,
@@ -161,6 +162,17 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--max_side", type=int, default=None,
                    help="resize max-side cap (default: image_width)")
     p.add_argument("--seed", type=int, default=0)
+    # parallelism (no reference counterpart — it is single-GPU, SURVEY §2.2)
+    p.add_argument("--mesh", type=str2bool, default=False,
+                   help="train data-parallel over a device mesh: replicate "
+                        "the train state, shard every batch on the 'data' "
+                        "axis (batch sizes must divide by the data-axis "
+                        "size)")
+    p.add_argument("--num_model", type=int, default=1,
+                   help="model-axis size (head-channel tensor parallelism); "
+                        "1 = pure data parallel")
+    p.add_argument("--num_data", type=int, default=-1,
+                   help="data-axis size; -1 = all remaining devices")
     p.add_argument("--just_train_classifier", type=str2bool, default=False,
                    help="train only the cls/reg output layers (the reference's"
                         " just_train_classifier.py experiment)")
@@ -253,6 +265,9 @@ def args_to_config(a: argparse.Namespace) -> TrainConfig:
             clip_cls_loss=a.clip_cls_loss,
             clip_replay_cls_loss=a.clip_replay_cls_loss,
             final_correction=a.final_correction,
+        ),
+        mesh=MeshConfig(
+            enabled=a.mesh, num_model=a.num_model, num_data=a.num_data,
         ),
         seed=a.seed,
         start_epoch=a.start_epoch,

@@ -86,6 +86,15 @@ def run_validation(a, state: Optional[int] = None, epochs: Optional[List[int]] =
     _copy_run_artifacts(ckpt.state_dir(state), result_dir)
 
     use_bic = getattr(a, "bic", False)
+    mesh = None
+    if getattr(a, "mesh", False):
+        from ..parallel.mesh import create_mesh
+
+        mesh = create_mesh(cfg.mesh)
+        ndata = mesh.shape[cfg.mesh.data_axis]
+        if cfg.data.batch_size % ndata:
+            raise SystemExit(f"--mesh: batch_size {cfg.data.batch_size} "
+                             f"not divisible by the data axis ({ndata})")
     results = {}
     for epoch in epochs:
         if epoch == -1:
@@ -124,7 +133,8 @@ def run_validation(a, state: Optional[int] = None, epochs: Optional[List[int]] =
                         print(f"warning: --bic requested but the epoch "
                               f"{epoch} checkpoint carries no BiC state")
             rows = evaluator.predict_dataset(model, variables, progress=True,
-                                             bic_correct=bic_correct)
+                                             bic_correct=bic_correct,
+                                             mesh=mesh)
             with open(json_out, "w") as f:
                 json.dump(rows, f)
         res = evaluator.evaluate(rows, getattr(a, "ignore_other_img", False))

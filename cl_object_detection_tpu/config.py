@@ -279,7 +279,15 @@ class PredictConfig:
 class MeshConfig:
     """Device-mesh layout. The reference is single-GPU (SURVEY.md §2.2);
     here data-parallel over ICI is the first-class path, with an optional
-    model axis for head/FPN channel sharding."""
+    model axis for head-channel tensor parallelism.
+
+    ``enabled=True`` makes the PRODUCTION trainer (cli.train / ILTrainer)
+    create the mesh at init, replicate/TP-shard the train state over it,
+    and shard every batch on the data axis
+    (jax.make_array_from_process_local_data, multi-host ready); GSPMD
+    inserts the gradient all-reduce. Batch sizes (train and replay) must
+    be multiples of the data-axis size."""
+    enabled: bool = False
     data_axis: str = "data"
     model_axis: str = "model"
     num_data: int = -1                 # -1: all devices on the data axis

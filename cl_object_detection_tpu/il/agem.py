@@ -41,10 +41,11 @@ class AGem:
     """Holds the replay loader + the current averaged replay gradient."""
 
     def __init__(self, model, anchors, il_cfg: ILConfig, focal_cfg: FocalConfig,
-                 loss_statics: LossStatics, replay_loader):
+                 loss_statics: LossStatics, replay_loader, mesh=None):
         self.replay_loader = replay_loader
         self.replay_grad: Optional[Any] = None
         self._mask = None
+        self.mesh = mesh               # shard replay batches over 'data'
 
         apply_plain = lambda v, x, act: model.apply(v, x, enable_act=act)
 
@@ -80,10 +81,19 @@ class AGem:
         acc = None
         n = max(len(self.replay_loader), 1)
         for batch in self.replay_loader:
+            if self.mesh is not None:
+                from ..parallel.mesh import global_batch_from_local
+
+                images, boxes, labels = (
+                    global_batch_from_local(self.mesh, a)
+                    for a in (batch.images, batch.boxes, batch.labels))
+            else:
+                images = jnp.asarray(batch.images)
+                boxes = jnp.asarray(batch.boxes)
+                labels = jnp.asarray(batch.labels)
             g = self._grad_step(
                 variables, jnp.asarray(self._anchors_provider(batch.images)),
-                jnp.asarray(batch.images), jnp.asarray(batch.boxes),
-                jnp.asarray(batch.labels),
+                images, boxes, labels,
             )
             g = jax.tree.map(lambda x, m: x * m / n, g, self._mask)
             acc = g if acc is None else jax.tree.map(jnp.add, acc, g)

@@ -96,9 +96,11 @@ class BicTrainer:
         cur_state: int,
         num_past_class: int,
         bic_loader,
+        mesh=None,
     ):
         self.cur_state = cur_state
         self.bic_loader = bic_loader
+        self.mesh = mesh               # shard held-out batches over 'data'
         self.params = BicParams(len(new_class_counts))
         num_knowing = sum(new_class_counts[: cur_state + 1])
         correct = make_bic_correct(new_class_counts, num_knowing)
@@ -153,11 +155,20 @@ class BicTrainer:
         total = 0.0
         n = 0
         for batch in self.bic_loader:
+            if self.mesh is not None:
+                from ..parallel.mesh import global_batch_from_local
+
+                images, boxes, labels = (
+                    global_batch_from_local(self.mesh, a)
+                    for a in (batch.images, batch.boxes, batch.labels))
+            else:
+                images = jnp.asarray(batch.images)
+                boxes = jnp.asarray(batch.boxes)
+                labels = jnp.asarray(batch.labels)
             tree, self.opt_state, metrics = self._train_step(
                 tree, self.opt_state, variables,
                 jnp.asarray(self._anchors_provider(batch.images)),
-                jnp.asarray(batch.images), jnp.asarray(batch.boxes),
-                jnp.asarray(batch.labels),
+                images, boxes, labels,
             )
             total += float(metrics["total_loss"])
             n += 1

@@ -25,13 +25,19 @@ import numpy as np
 
 
 def torch_to_npz(state_dict_path: str, out_path: str) -> None:
-    """Offline helper: torch state_dict -> flat npz of numpy arrays."""
+    """Offline helper: torch state_dict (or a reference checkpoint dict
+    holding ``model_state_dict``, params.py:307-322) -> flat npz of numpy
+    arrays. Torch is needed only at conversion time; the npz loads
+    anywhere."""
     import torch
 
     sd = torch.load(state_dict_path, map_location="cpu")
+    if isinstance(sd, dict) and "model_state_dict" in sd:
+        sd = sd["model_state_dict"]
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    np.savez(out_path, **{k: v.numpy() for k, v in sd.items()})
+    np.savez(out_path, **{k: np.asarray(v) for k, v in sd.items()
+                          if hasattr(v, "numpy") or isinstance(v, np.ndarray)})
 
 
 def _map_key(torch_key: str) -> Tuple[Tuple[str, ...], str, str]:

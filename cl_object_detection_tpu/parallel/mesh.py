@@ -71,6 +71,102 @@ def init_distributed(
     jax.distributed.initialize(**kwargs)
 
 
+def head_tp_spec(path, leaf, axis: str = "model"):
+    """Megatron-style tensor-parallel PartitionSpec for one param leaf.
+
+    The detection heads are the widest conv stacks (256-channel trunks over
+    5 pyramid levels); their 3x3 trunk convs alternate column-parallel
+    (cout sharded — conv1/conv3) and row-parallel (cin sharded, partial
+    outputs psum'ed by GSPMD — conv2/conv4), so activations stay sharded
+    across the stack with one collective per pair. Output convs, FPN and
+    backbone replicate (ResNet-50-scale weights fit every chip; DP is the
+    dominant axis — SURVEY.md §2.2).
+    """
+    keys = [str(getattr(p, "key", "")) for p in path]
+    in_head = any(k in ("regression_head", "classification_head") for k in keys)
+    conv = next((k for k in keys if k.startswith("conv") and len(k) == 5), None)
+    if not (in_head and conv):
+        return P()
+    col = conv in ("conv1", "conv3")
+    if leaf.ndim == 4:                      # (kh, kw, cin, cout)
+        return P(None, None, None, axis) if col else P(None, None, axis, None)
+    if leaf.ndim == 1:                      # bias
+        return P(axis) if col else P()
+    return P()
+
+
+def shard_train_state(mesh: Mesh, train_state, num_model: int = 1,
+                      model_axis: str = "model"):
+    """Place a TrainState on the mesh: head-trunk TP when num_model > 1,
+    everything else replicated. opt_state/grad_acc moments follow their
+    param's spec (same tree structure per group)."""
+    import jax.tree_util as jtu
+
+    if num_model <= 1:
+        return jax.device_put(train_state, replicate(mesh))
+
+    def put_params_like(tree):
+        return jtu.tree_map_with_path(
+            lambda path, x: jax.device_put(
+                x, NamedSharding(mesh, head_tp_spec(path, x, model_axis))),
+            tree,
+        )
+
+    repl = replicate(mesh)
+    return train_state.replace(
+        step=jax.device_put(train_state.step, repl),
+        params=put_params_like(train_state.params),
+        batch_stats=jax.device_put(train_state.batch_stats, repl),
+        # adam mu/nu and the accumulator are param-shaped trees nested in
+        # optax NamedTuples; map leaf-wise with a params-path lookup
+        opt_state=_put_like_params(mesh, train_state.opt_state,
+                                   train_state.params, model_axis),
+        grad_acc=put_params_like(train_state.grad_acc),
+        acc_count=jax.device_put(train_state.acc_count, repl),
+    )
+
+
+def _put_like_params(mesh: Mesh, opt_state, params, model_axis: str):
+    """Shard every param-shaped subtree of an optax state like the params;
+    scalars and anything non-param-shaped replicate."""
+    import jax.tree_util as jtu
+
+    spec_by_path = {}
+    for path, leaf in jtu.tree_flatten_with_path(params)[0]:
+        keys = tuple(str(getattr(p, "key", "")) for p in path)
+        spec_by_path[keys] = head_tp_spec(path, leaf, model_axis)
+
+    def rec(node):
+        if isinstance(node, dict):
+            # a dict subtree that matches the params structure exactly is a
+            # moment tree — shard leaf-by-leaf via its own paths
+            flat = jtu.tree_flatten_with_path(node)[0]
+            paths = {tuple(str(getattr(p, "key", "")) for p in kp)
+                     for kp, _ in flat}
+            # subset: multi_transform groups hold masked trees whose array
+            # leaves cover only that group's params
+            if paths and paths <= set(spec_by_path):
+                return jtu.tree_map_with_path(
+                    lambda path, x: jax.device_put(
+                        x, NamedSharding(
+                            mesh,
+                            spec_by_path[tuple(str(getattr(p, "key", ""))
+                                               for p in path)])),
+                    node,
+                )
+            return {k: rec(v) for k, v in node.items()}
+        if hasattr(node, "_fields"):
+            return node._replace(**{f: rec(getattr(node, f))
+                                    for f in node._fields})
+        if isinstance(node, (tuple, list)):
+            return type(node)(rec(v) for v in node)
+        if hasattr(node, "shape"):
+            return jax.device_put(node, replicate(mesh))
+        return node
+
+    return rec(opt_state)
+
+
 def global_batch_from_local(mesh: Mesh, batch):
     """Assemble a GLOBAL batch from this host's local shard.
 

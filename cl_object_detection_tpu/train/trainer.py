@@ -103,6 +103,29 @@ class ILTrainer:
             cfg.keep_every,
         )
 
+        # device mesh (SURVEY.md §2.2-2.3): when enabled, the train state
+        # lives replicated (or head-TP-sharded) on the mesh and every batch
+        # is sharded over the data axis — GSPMD inserts the gradient
+        # all-reduce inside the existing compiled steps.
+        self.mesh = None
+        if cfg.mesh.enabled:
+            from ..parallel.mesh import create_mesh
+
+            self.mesh = create_mesh(cfg.mesh)
+            ndata = self.mesh.shape[cfg.mesh.data_axis]
+            if cfg.data.batch_size % ndata:
+                raise ValueError(
+                    f"batch_size {cfg.data.batch_size} not divisible by the "
+                    f"data-axis size {ndata}")
+            if (cfg.il.replay.sample_num > 0
+                    and cfg.il.replay.sample_batch_size % ndata):
+                raise ValueError(
+                    f"replay sample_batch_size "
+                    f"{cfg.il.replay.sample_batch_size} not divisible by "
+                    f"the data-axis size {ndata} (set --sample_batch_size)")
+            print(f"mesh: {dict(self.mesh.shape)} over "
+                  f"{len(self.mesh.devices.flat)} devices")
+
         # datasets ------------------------------------------------------
         self.dataset_train = ILDataset(
             self.coco, self.states, image_dir, split="train",
@@ -199,7 +222,35 @@ class ILTrainer:
         self.train_state = TrainState.create(
             params=params, batch_stats=batch_stats, tx=tx
         )
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_train_state
+
+            self.train_state = shard_train_state(
+                self.mesh, self.train_state, self.cfg.mesh.num_model,
+                self.cfg.mesh.model_axis,
+            )
         self._steps.clear()
+
+    def _put_batch(self, batch):
+        """Batch arrays to device: sharded over the mesh's data axis
+        (multi-host ready via make_array_from_process_local_data) or plain
+        single-device asarray."""
+        arrays = (batch.images, batch.boxes, batch.labels)
+        if self.mesh is None:
+            return tuple(jnp.asarray(a) for a in arrays)
+        from ..parallel.mesh import global_batch_from_local
+
+        return tuple(global_batch_from_local(self.mesh, a) for a in arrays)
+
+    def _replicate(self, tree):
+        """Pin a pytree on device (replicated over the mesh when present).
+        Keeps per-step kwargs (teacher variables, MAS tensors) device-side
+        instead of re-transferring host numpy every call."""
+        if self.mesh is None:
+            return jax.tree.map(jnp.asarray, tree)
+        from ..parallel.mesh import replicate
+
+        return jax.device_put(tree, replicate(self.mesh))
 
     def _make_train_loader(self) -> BatchLoader:
         return BatchLoader(
@@ -348,12 +399,9 @@ class ILTrainer:
         if self._trainable is not None:
             kwargs["trainable_mask"] = self._trainable
 
+        images, boxes, labels = self._put_batch(batch)
         self.train_state, metrics = step(
-            self.train_state,
-            jnp.asarray(batch.images),
-            jnp.asarray(batch.boxes),
-            jnp.asarray(batch.labels),
-            **kwargs,
+            self.train_state, images, boxes, labels, **kwargs,
         )
         if sync_metrics:
             return {k: float(v) for k, v in metrics.items()}
@@ -541,6 +589,7 @@ class ILTrainer:
         self.bic = BicTrainer(
             self.model, self.anchors_for, cfg, self.cfg.focal, cfg.bic,
             counts, self.cur_state, st.num_past_class, bic_loader,
+            mesh=self.mesh,
         )
 
     def _init_agem(self) -> None:
@@ -556,7 +605,7 @@ class ILTrainer:
         )
         self.agem = AGem(
             self.model, self.anchors_for, self.cfg.il, self.cfg.focal,
-            statics, self.replay_loader,
+            statics, self.replay_loader, mesh=self.mesh,
         )
 
     def _update_prev_model(self) -> None:
@@ -569,11 +618,14 @@ class ILTrainer:
         prev_classes = self.states[prev].num_knowing_class
         self.teacher_model = create_retinanet(self.cfg.model, prev_classes)
         tree, _ = self.ckpt.restore(prev, -1)
-        self.teacher_variables = {
+        # pin on device once (replicated over the mesh): the teacher tree
+        # rides into every distill step as a kwarg — host numpy here would
+        # re-transfer the full model every iteration
+        self.teacher_variables = self._replicate({
             "params": tree["params"],
             "batch_stats": tree["batch_stats"],
-        }
-        self.mas_prev_params = tree["params"]
+        })
+        self.mas_prev_params = self.teacher_variables["params"]
         if cfg.classifier_loss:
             self._teacher_class_vectors = jnp.asarray(
                 classifier_class_vectors(tree["params"],
@@ -608,6 +660,7 @@ class ILTrainer:
                 self.model, self.variables(), self.anchors_for, loader
             )
             self.ckpt.save_array_sidecar(prev, "mas_importance", self.mas_importance)
+        self.mas_importance = self._replicate(self.mas_importance)
 
     def _add_pseudo_labels(self) -> None:
         cfg = self.cfg.il
@@ -713,8 +766,13 @@ class ILTrainer:
 
     # ------------------------------------------------------------------
     def save(self, epoch: int, epoch_loss: Optional[List[float]] = None) -> None:
+        """NB: a half-filled gradient accumulator (every_iter > 1 with an
+        epoch length not divisible by it) is not persisted — resume restarts
+        accumulation cleanly, same as the reference (torch checkpoints drop
+        .grad buffers too). acc_count rides in the meta for diagnostics."""
         il_meta = {
             "state": self.cur_state,
+            "acc_count": int(self.train_state.acc_count),
             "epoch": epoch,
             "num_classes": self.num_classes,
             "knowing_class_ids": self.states[self.cur_state].knowing_ids,
@@ -760,6 +818,13 @@ class ILTrainer:
             opt_state=tree["opt_state"],
             step=jnp.asarray(tree["step"]),
         )
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_train_state
+
+            self.train_state = shard_train_state(
+                self.mesh, self.train_state, self.cfg.mesh.num_model,
+                self.cfg.mesh.model_axis,
+            )
         if il_meta and "bic" in il_meta and self.bic is not None:
             self.bic.params.load(il_meta["bic"])
         return il_meta["epoch"] if il_meta else 0

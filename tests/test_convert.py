@@ -155,6 +155,61 @@ def test_load_reference_checkpoint_full_coverage(tmp_path):
     assert out2 is not None
 
 
+def test_torch_to_npz_roundtrip(tmp_path):
+    """Reference .pt checkpoint -> torch_to_npz -> strict load, proving the
+    documented 'torch needed at conversion time only' path end to end."""
+    torch = pytest.importorskip("torch")
+
+    from cl_object_detection_tpu.models.convert import (
+        load_reference_checkpoint,
+        torch_to_npz,
+    )
+
+    model = create_retinanet(ModelConfig(depth=18, compute_dtype="float32"), 3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    import jax.tree_util as jtu
+    rng = np.random.RandomState(5)
+    sd = {}
+    for coll in ("params", "batch_stats"):
+        for kp, leaf in jtu.tree_flatten_with_path(variables[coll])[0]:
+            parts = tuple(getattr(k, "key", str(k)) for k in kp)
+            val = rng.randn(*leaf.shape).astype(np.float32)
+            sd[_flax_path_to_torch_key(coll, parts)] = torch.from_numpy(
+                val.transpose(3, 2, 0, 1) if val.ndim == 4 else val)
+    pt = str(tmp_path / "voc2007_checkpoint_30.pt")
+    # the reference's exact artifact layout (params.py:307-322)
+    torch.save({"epoch": 30, "model_state_dict": sd,
+                "epoch_loss": [1.0, 0.5]}, pt)
+    npz = str(tmp_path / "converted.npz")
+    torch_to_npz(pt, npz)
+    out = load_reference_checkpoint(variables, npz, strict=True)
+    np.testing.assert_allclose(
+        np.asarray(out["params"]["classification_head"]["output"]["kernel"]),
+        sd["classificationModel.output.weight"].numpy().transpose(2, 3, 1, 0))
+
+
+class _NotATensor:
+    """Module-level so pickle can round-trip it (weights_only still rejects
+    arbitrary classes)."""
+
+
+def test_pt_pickle_gate(tmp_path):
+    """Non-tensor pickles are rejected unless explicitly allowed
+    (ADVICE r1: weights_only first; unpickling runs embedded code)."""
+    torch = pytest.importorskip("torch")
+
+    from cl_object_detection_tpu.models.convert import _load_state_dict
+
+    pt = str(tmp_path / "sketchy.pt")
+    torch.save({"model_state_dict": {"x": torch.zeros(2)},
+                "extra": _NotATensor()}, pt)
+    with pytest.raises(ValueError, match="allow_pickle"):
+        _load_state_dict(pt)
+    out = _load_state_dict(pt, allow_pickle=True)
+    assert "x" in out
+
+
 def test_load_reference_checkpoint_torch_pt(tmp_path):
     """The reference's actual artifact: torch.save({'model_state_dict': ...})."""
     torch = pytest.importorskip("torch")

@@ -6,6 +6,7 @@ incremental transition with distillation + replay + classifier expansion.
 """
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -203,6 +204,40 @@ def test_incremental_prototype_and_classifier_loss(toy, tmp_path):
     m = trainer.run_batch(batch)
     assert "prototype_loss" in m and np.isfinite(m["prototype_loss"])
     assert "sim_loss" in m and np.isfinite(m["sim_loss"])
+
+
+def test_crash_resume_is_bitwise(toy, tmp_path):
+    """Kill-and-resume reproduces the uninterrupted run EXACTLY: run A
+    trains epochs 1..4 straight through; run B trains 1..2, 'crashes',
+    and a fresh trainer resumes (params + optimizer state via the
+    checkpoint, data order via the epoch-pinned loader RNG) for 3..4.
+    Final parameter trees must match bitwise (SURVEY.md §5 failure
+    recovery; the loader's scheduling-independent augmentation hash)."""
+    # run A: uninterrupted
+    cfgA = tiny_cfg(str(tmp_path / "a"), ["5"]).replace(end_epoch=4)
+    trA = ILTrainer(cfgA, os.path.join(toy, "train.json"),
+                    os.path.join(toy, "images"), workdir=str(tmp_path / "a"))
+    train_process(trA)
+    paramsA = jax.tree.map(np.asarray, trA.train_state.params)
+
+    # run B part 1: epochs 1..2 then "crash" (only epoch 2 on disk)
+    cfgB = tiny_cfg(str(tmp_path / "b"), ["5"]).replace(end_epoch=2)
+    trB = ILTrainer(cfgB, os.path.join(toy, "train.json"),
+                    os.path.join(toy, "images"), workdir=str(tmp_path / "b"))
+    train_process(trB)
+    del trB
+
+    # run B part 2: fresh process state, resume at epoch 3
+    cfgB2 = tiny_cfg(str(tmp_path / "b"), ["5"]).replace(
+        start_epoch=3, end_epoch=4)
+    trB2 = ILTrainer(cfgB2, os.path.join(toy, "train.json"),
+                     os.path.join(toy, "images"), workdir=str(tmp_path / "b"))
+    trB2.resume(0, 2)                 # optimizer state too (cli.train path)
+    train_process(trB2)
+    paramsB = jax.tree.map(np.asarray, trB2.train_state.params)
+
+    for a, b in zip(jax.tree.leaves(paramsA), jax.tree.leaves(paramsB)):
+        np.testing.assert_array_equal(a, b)
 
 
 def test_cross_state_resume(toy, tmp_path):
