@@ -29,6 +29,11 @@ def get_parser():
     parser.add_argument("--state", type=int, default=0)
     parser.add_argument("--epoch", type=int, nargs="+", default=[-1])
     parser.add_argument("--threshold", type=float, default=0.05)
+    parser.add_argument("--topk_method", default="exact",
+                        choices=["exact", "approx"],
+                        help="pre-NMS candidate selection (approx = "
+                             "lax.approx_max_k, the bench.py fast path; "
+                             "measured mAP-neutral on the toy eval)")
     parser.add_argument("--eval_on_train", type=str2bool, default=False)
     parser.add_argument("--just_val", type=str2bool, default=False)
     parser.add_argument("--ignore_other_img", type=str2bool, default=False)
@@ -72,7 +77,10 @@ def run_validation(a, state: Optional[int] = None, epochs: Optional[List[int]] =
     num_classes = states[state].num_knowing_class
     model = create_retinanet(cfg.model, num_classes)
 
-    predict_cfg = PredictConfig(score_thresh=threshold)
+    predict_cfg = PredictConfig(
+        score_thresh=threshold,
+        topk_method=getattr(a, "topk_method", "exact"),
+    )
     evaluator = Evaluator(
         coco, states, image_dir, cfg.data, predict_cfg, state_index=state,
         eval_on_train=(split == "train"),
@@ -95,49 +103,66 @@ def run_validation(a, state: Optional[int] = None, epochs: Optional[List[int]] =
         if cfg.data.batch_size % ndata:
             raise SystemExit(f"--mesh: batch_size {cfg.data.batch_size} "
                              f"not divisible by the data axis ({ndata})")
-    results = {}
+    suffix = "_bic" if use_bic else ""
+
+    def json_path(epoch):
+        return os.path.join(
+            result_dir, f"{a.dataset}_results_epoch{epoch}{suffix}.json")
+
+    # resolve epoch list, split into cached rows vs checkpoints to predict
+    rows_by_epoch = {}
+    to_predict = {}
+    bic_by_epoch = {}
     for epoch in epochs:
         if epoch == -1:
             epoch = ckpt.latest_epoch(state)
-        suffix = "_bic" if use_bic else ""
-        json_out = os.path.join(
-            result_dir, f"{a.dataset}_results_epoch{epoch}{suffix}.json")
-        if getattr(a, "just_val", False) and os.path.exists(json_out):
-            with open(json_out) as f:
-                rows = json.load(f)
+        if getattr(a, "just_val", False) and os.path.exists(json_path(epoch)):
+            with open(json_path(epoch)) as f:
+                rows_by_epoch[epoch] = json.load(f)
+        elif getattr(a, "torch_ckpt", None):
+            import jax
+
+            from ..models.convert import load_reference_checkpoint
+
+            init = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+            to_predict[epoch] = load_reference_checkpoint(init, a.torch_ckpt)
+            if use_bic:
+                print("warning: --bic ignored for --torch_ckpt (no meta)")
         else:
-            bic_correct = None
-            if getattr(a, "torch_ckpt", None):
-                import jax
+            tree, il_meta = ckpt.restore(state, epoch)
+            to_predict[epoch] = {
+                "params": jnp_tree(tree["params"]),
+                "batch_stats": jnp_tree(tree["batch_stats"]),
+            }
+            if use_bic:
+                from ..il.bic import bic_correct_from_meta
 
-                from ..models.convert import load_reference_checkpoint
+                counts = [s.num_new_class for s in states.states]
+                bc = bic_correct_from_meta(il_meta, counts, num_classes)
+                if bc is None:
+                    print(f"warning: --bic requested but the epoch "
+                          f"{epoch} checkpoint carries no BiC state")
+                else:
+                    bic_by_epoch[epoch] = bc
 
-                init = model.init(
-                    jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
-                variables = load_reference_checkpoint(init, a.torch_ckpt)
-                if use_bic:
-                    print("warning: --bic ignored for --torch_ckpt (no meta)")
-            else:
-                tree, il_meta = ckpt.restore(state, epoch)
-                variables = {
-                    "params": jnp_tree(tree["params"]),
-                    "batch_stats": jnp_tree(tree["batch_stats"]),
-                }
-                if use_bic:
-                    from ..il.bic import bic_correct_from_meta
-
-                    counts = [s.num_new_class for s in states.states]
-                    bic_correct = bic_correct_from_meta(
-                        il_meta, counts, num_classes)
-                    if bic_correct is None:
-                        print(f"warning: --bic requested but the epoch "
-                              f"{epoch} checkpoint carries no BiC state")
-            rows = evaluator.predict_dataset(model, variables, progress=True,
-                                             bic_correct=bic_correct,
-                                             mesh=mesh)
-            with open(json_out, "w") as f:
+    if to_predict:
+        # all requested epochs share ONE decode pass over the split (the
+        # reference instead thread-pooled per-epoch predictions,
+        # evaluator.py:383-426)
+        predicted = evaluator.predict_dataset_multi(
+            model, to_predict, progress=True, mesh=mesh,
+            bic_correct_by_key=bic_by_epoch,
+        )
+        for epoch, rows in predicted.items():
+            with open(json_path(epoch), "w") as f:
                 json.dump(rows, f)
-        res = evaluator.evaluate(rows, getattr(a, "ignore_other_img", False))
+            rows_by_epoch[epoch] = rows
+
+    results = {}
+    for epoch in sorted(rows_by_epoch):
+        res = evaluator.evaluate(rows_by_epoch[epoch],
+                                 getattr(a, "ignore_other_img", False))
         results[epoch] = res
         print(f"epoch {epoch}: mAP50={res.mean_ap50:.4f} AR={res.mean_recall:.4f}")
         for name in sorted(res.ap50):

@@ -89,6 +89,52 @@ class Evaluator:
             seen |= fresh
         return results
 
+    def predict_dataset_multi(
+        self,
+        model,
+        variables_by_key: Dict,
+        progress: bool = False,
+        mesh=None,
+        bic_correct_by_key: Optional[Dict] = None,
+    ) -> Dict[int, List[dict]]:
+        """Evaluate SEVERAL checkpoints in one pass over the data.
+
+        The reference thread-pools epochs x splits on one GPU
+        (evaluator.py:383-426) because its predict is batch-size-1; here
+        the host decode pipeline is the repeated cost, so each decoded
+        batch is pushed through every epoch's weights before moving on —
+        one decode pass total, E jitted predict calls per batch (one
+        compiled program shared by all, weights are just inputs)."""
+        bic_correct_by_key = bic_correct_by_key or {}
+        fns = {}
+        for key in variables_by_key:
+            bc = bic_correct_by_key.get(key)
+            if mesh is not None:
+                fns[key] = make_sharded_predict_fn(model, self.predict_cfg,
+                                                   mesh, bic_correct=bc)
+            else:
+                fns[key] = make_predict_fn(model, self.predict_cfg,
+                                           bic_correct=bc)
+        seen: set = set()
+        results: Dict[int, List[dict]] = {k: [] for k in variables_by_key}
+        it = self.loader
+        if progress:
+            import tqdm
+
+            it = tqdm.tqdm(it, total=len(self.loader))
+        for batch in it:
+            fresh_ids = [i for i in batch.image_ids.tolist() if i not in seen]
+            fresh = set(fresh_ids)
+            for key, variables in variables_by_key.items():
+                det = fns[key](variables, batch.images)
+                rows = detections_to_coco(
+                    det, batch, self.label_to_cat,
+                    self.predict_cfg.score_thresh,
+                )
+                results[key].extend(r for r in rows if r["image_id"] in fresh)
+            seen |= fresh
+        return results
+
     def evaluate(self, results: List[dict], ignore_other_img: bool = False) -> EvalResult:
         ev = CocoProtocolEval(self.coco, self.dataset.image_ids)
         cat_ids = self.states[self.state_index].knowing_ids

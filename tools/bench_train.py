@@ -80,14 +80,136 @@ def run(batch: int, iters: int, remat: bool, depth: int = 50) -> float:
     return batch * iters / best
 
 
+def run_split(batch: int, iters: int, remat: bool, depth: int = 50):
+    """Phase split of the train step: forward / +loss / +backward / full
+    step (optimizer = full − backward), plus an MFU estimate.
+
+    Each phase is its own chained fori_loop with a data dependency and a
+    single host sync (same timing discipline as `run`). MFU uses XLA's own
+    cost analysis (compiled.cost_analysis()['flops']) against the v5e peak
+    (197 TFLOP/s bf16); falls back to an analytic 2*flops(fwd) multiple if
+    cost analysis is unavailable on this runtime.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.config import (
+        FocalConfig,
+        ILConfig,
+        ModelConfig,
+        ScheduleConfig,
+    )
+    from cl_object_detection_tpu.il.losses import LossStatics, compute_losses
+    from cl_object_detection_tpu.models import create_retinanet
+    from cl_object_detection_tpu.ops.anchors import anchors_for_shape
+
+    H, W, C, M = 640, 1024, 20, 32
+    model = create_retinanet(ModelConfig(depth=depth, remat=remat), C)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
+    anchors = jnp.asarray(anchors_for_shape(H, W))
+    il_cfg, focal_cfg = ILConfig(), FocalConfig()
+    statics = LossStatics(num_classes=C)
+    apply_plain = lambda v, x, act: model.apply(v, x, enable_act=act)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(batch, H, W, 3).astype(np.float32) * 0.1)
+    boxes_np = np.full((batch, M, 4), -1, np.float32)
+    labels_np = np.full((batch, M), -1, np.int32)
+    for b in range(batch):
+        for j in range(8):
+            boxes_np[b, j] = [32 * (j + 1), 16 * (j + 1),
+                              32 * (j + 1) + 96, 16 * (j + 1) + 64]
+            labels_np[b, j] = (b + j) % C
+    boxes, labels = jnp.asarray(boxes_np), jnp.asarray(labels_np)
+
+    def loss_of(params, img):
+        total, _ = compute_losses(
+            apply_plain, None,
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            img, boxes, labels, anchors, il_cfg, focal_cfg, statics,
+        )
+        return total
+
+    def fwd_scalar(params, img):
+        logits, reg = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            img, enable_act=False)
+        return jnp.sum(logits[..., 0]) * 1e-6 + jnp.sum(reg) * 1e-9
+
+    def grad_scalar(params, img):
+        g = jax.grad(loss_of)(params, img)
+        return sum(jnp.sum(x) for x in jax.tree.leaves(g)) * 1e-9
+
+    def timed(fn_scalar):
+        @jax.jit
+        def chained(img):
+            def body(i, acc):
+                return acc + fn_scalar(variables["params"], img + acc * 1e-12)
+            return jax.lax.fori_loop(0, iters, body, 0.0)
+
+        float(chained(images))                  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chained(images))
+            best = min(best, time.perf_counter() - t0)
+        return best / iters
+
+    t_fwd = timed(fwd_scalar)
+    t_loss = timed(loss_of)
+    t_grad = timed(grad_scalar)
+    # full-step time from `run` (includes optimizer + accumulator traffic)
+    ips_full = run(batch, iters, remat, depth)
+    t_full = batch / ips_full
+
+    # --- MFU from XLA's compiled cost analysis of the grad computation
+    flops = None
+    try:
+        lowered = jax.jit(grad_scalar).lower(variables["params"], images)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    if flops is None:
+        # analytic fallback: fwd conv flops for R50+FPN+heads @640x1024
+        # (2*MACs): backbone ~54G (4.1G@224^2 x 13.06 area scale) + head
+        # trunks 2*4 convs 256->256 over ~13.6k pyramid positions ~129G +
+        # outputs ~14G + FPN ~5G  => ~200 GFLOP/img; backward ~ 2x forward
+        flops = 3.0 * 200e9 * batch
+    peak = 197e12  # v5e bf16
+    mfu = flops / t_full / peak
+
+    return {
+        "batch": batch,
+        "forward_ms": round(t_fwd * 1e3, 2),
+        "loss_ms": round((t_loss - t_fwd) * 1e3, 2),
+        "backward_ms": round((t_grad - t_loss) * 1e3, 2),
+        "optimizer_ms": round((t_full - t_grad) * 1e3, 2),
+        "full_step_ms": round(t_full * 1e3, 2),
+        "images_per_sec": round(ips_full, 2),
+        "step_flops": flops,
+        "mfu_vs_v5e_bf16_peak": round(mfu, 4),
+    }
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batch", type=int, nargs="+", default=[4, 8])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--depth", type=int, default=50)
+    p.add_argument("--split", action="store_true",
+                   help="phase split (fwd/loss/bwd/opt) + MFU estimate")
     args = p.parse_args()
     for b in args.batch:
+        if args.split:
+            out = run_split(b, args.iters, args.remat, args.depth)
+            out["metric"] = (f"retinanet_r{args.depth}_640x1024_train_split"
+                             + ("_remat" if args.remat else ""))
+            print(json.dumps(out), flush=True)
+            continue
         ips = run(b, args.iters, args.remat, args.depth)
         print(
             json.dumps(
