@@ -69,6 +69,8 @@ class BatchLoader:
         is_replay: bool = False,
         prefetch: int = 2,
         num_workers: Optional[int] = None,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.cfg = cfg
@@ -81,6 +83,18 @@ class BatchLoader:
         self.prefetch = prefetch
         self.num_workers = (num_workers if num_workers is not None
                             else getattr(cfg, "num_workers", 0))
+        # multi-host: every process computes the SAME global batch schedule
+        # (pure function of seed/epoch) and decodes only its contiguous
+        # slot slice; jax.make_array_from_process_local_data stitches the
+        # slices into the global batch (SURVEY.md §2.3 host-local loading).
+        # Augmentation RNG is keyed by global slot, so the global batch is
+        # bit-identical regardless of the process topology.
+        if process_count > 1 and self.batch_size % process_count:
+            raise ValueError(
+                f"batch_size {self.batch_size} not divisible by "
+                f"process_count {process_count}")
+        self.process_index = process_index
+        self.process_count = process_count
         self._pool: Optional[ThreadPoolExecutor] = None
         self._epoch = 0
 
@@ -161,6 +175,14 @@ class BatchLoader:
         # COCO-json height/width metadata
         frame = self._canonical_of(group[0])
 
+        # this process's contiguous slice of the global batch (identity for
+        # single-process); slot keys stay GLOBAL so augmentation draws are
+        # topology-independent
+        per = len(group) // self.process_count
+        lo = self.process_index * per
+        local = list(enumerate(group))[lo : lo + per] \
+            if self.process_count > 1 else list(enumerate(group))
+
         def make(slot_idx):
             slot, i = slot_idx
             # pure function of (seed, epoch, image, slot): augmentations do
@@ -174,9 +196,9 @@ class BatchLoader:
         if self.num_workers and self.num_workers > 1:
             if self._pool is None:
                 self._pool = ThreadPoolExecutor(self.num_workers)
-            ex = list(self._pool.map(make, enumerate(group)))
+            ex = list(self._pool.map(make, local))
         else:
-            ex = [make(si) for si in enumerate(group)]
+            ex = [make(si) for si in local]
         return Batch(
             images=np.stack([e[0] for e in ex]),
             boxes=np.stack([e[1] for e in ex]),

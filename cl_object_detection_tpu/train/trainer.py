@@ -252,10 +252,20 @@ class ILTrainer:
 
         return jax.device_put(tree, replicate(self.mesh))
 
-    def _make_train_loader(self) -> BatchLoader:
+    def _proc_shard(self) -> Dict[str, int]:
+        """Per-process batch sharding kwargs for STEP loaders (loaders that
+        feed global_batch_from_local). Tool passes (MAS/prototype/
+        similarity/herding/pseudo) keep full batches so every host derives
+        identical sidecars."""
+        if self.mesh is None or jax.process_count() == 1:
+            return {}
+        return {"process_index": jax.process_index(),
+                "process_count": jax.process_count()}
+
+    def _make_train_loader(self, sharded: bool = True) -> BatchLoader:
         return BatchLoader(
             self.dataset_train, self.cfg.data, shuffle=True, augment=True,
-            seed=self.cfg.seed,
+            seed=self.cfg.seed, **(self._proc_shard() if sharded else {}),
         )
 
     def _anchors_at(self, h: int, w: int):
@@ -560,6 +570,7 @@ class ILTrainer:
             self.dataset_replay, self.cfg.data,
             batch_size=self.cfg.il.replay.sample_batch_size,
             shuffle=True, augment=True, seed=self.cfg.seed, is_replay=True,
+            **self._proc_shard(),
         )
 
     def _init_bic(self) -> None:
@@ -584,7 +595,8 @@ class ILTrainer:
         bic_ds = BicDataset(self.coco, self.states, self.image_dir,
                             bic_ids, seen_lists)
         bic_loader = BatchLoader(bic_ds, self.cfg.data, shuffle=True,
-                                 augment=True, seed=self.cfg.seed)
+                                 augment=True, seed=self.cfg.seed,
+                                 **self._proc_shard())
         counts = [s.num_new_class for s in self.states.states]
         self.bic = BicTrainer(
             self.model, self.anchors_for, cfg, self.cfg.focal, cfg.bic,
@@ -655,7 +667,7 @@ class ILTrainer:
                 )
             self.mas_importance = jax.tree_util.tree_unflatten(treedef, leaves)
         else:
-            loader = self._make_train_loader()
+            loader = self._make_train_loader(sharded=False)
             self.mas_importance = compute_importance(
                 self.model, self.variables(), self.anchors_for, loader
             )
@@ -735,7 +747,7 @@ class ILTrainer:
             if cached is not None:
                 similarity = np.asarray(list(cached.values())[0])
             else:
-                loader = self._make_train_loader()
+                loader = self._make_train_loader(sharded=False)
                 similarity = compute_similarity(
                     self.model, self.variables(), self.anchors_for, loader,
                     num_new=st.num_new_class,
@@ -757,7 +769,7 @@ class ILTrainer:
         self._new_train_state(new_params, self.train_state.batch_stats)
 
     def _update_mas_for_next(self) -> None:
-        loader = self._make_train_loader()
+        loader = self._make_train_loader(sharded=False)
         self.mas_importance = compute_importance(
             self.model, self.variables(), self.anchors_for, loader
         )

@@ -131,6 +131,42 @@ def test_loader_worker_count_invariance(toy):
             np.testing.assert_allclose(bx.boxes, by.boxes)
 
 
+def test_loader_process_sharding_topology_independent(toy):
+    """Multi-host loading: each process decodes only its contiguous slice
+    of every global batch, and the concatenation of the per-process slices
+    reproduces the single-process global batch bit-for-bit (augmentation
+    RNG is keyed by GLOBAL slot, so the global batch does not depend on
+    the process topology)."""
+    root, coco, states = toy
+    cfg = DataConfig(batch_size=4, height=256, width=384, max_boxes=10,
+                     min_side=200, max_side=384)
+    ds = ILDataset(coco, states, root + "/images", split="test", start_state=1)
+
+    def batches(pi, pc):
+        loader = BatchLoader(ds, cfg, shuffle=True, augment=True,
+                             prefetch=0, seed=7,
+                             process_index=pi, process_count=pc)
+        loader.set_epoch(3)
+        return list(loader)
+
+    full = batches(0, 1)
+    p0, p1 = batches(0, 2), batches(1, 2)
+    assert len(full) == len(p0) == len(p1) > 0
+    for f, a, b in zip(full, p0, p1):
+        assert a.size == b.size == f.size // 2
+        np.testing.assert_array_equal(
+            np.concatenate([a.image_ids, b.image_ids]), f.image_ids)
+        np.testing.assert_allclose(
+            np.concatenate([a.images, b.images]), f.images)
+        np.testing.assert_allclose(
+            np.concatenate([a.boxes, b.boxes]), f.boxes)
+        np.testing.assert_array_equal(
+            np.concatenate([a.labels, b.labels]), f.labels)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        BatchLoader(ds, cfg, batch_size=3, process_index=0, process_count=2)
+
+
 def test_shape_buckets(tmp_path):
     """shape_buckets: each image pads into the smallest fitting frame
     (transposed for portrait); batches stay frame-homogeneous; the
