@@ -23,7 +23,8 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def run(batch: int, iters: int, remat: bool, depth: int = 50) -> float:
+def run(batch: int, iters: int, remat: bool, depth: int = 50,
+        H: int = 640, W: int = 1024) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -40,7 +41,7 @@ def run(batch: int, iters: int, remat: bool, depth: int = 50) -> float:
     from cl_object_detection_tpu.train.state import TrainState
     from cl_object_detection_tpu.train.step import StepStatics, make_train_step
 
-    H, W, C, M = 640, 1024, 20, 32
+    C, M = 20, 32
     model = create_retinanet(ModelConfig(depth=depth, remat=remat), C)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
     tx = make_optimizer(ScheduleConfig(lr=1e-5, every_iter=2), variables["params"])
@@ -200,6 +201,8 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--depth", type=int, default=50)
+    p.add_argument("--height", type=int, default=640)
+    p.add_argument("--width", type=int, default=1024)
     p.add_argument("--split", action="store_true",
                    help="phase split (fwd/loss/bwd/opt) + MFU estimate")
     args = p.parse_args()
@@ -210,11 +213,12 @@ def main():
                              + ("_remat" if args.remat else ""))
             print(json.dumps(out), flush=True)
             continue
-        ips = run(b, args.iters, args.remat, args.depth)
+        ips = run(b, args.iters, args.remat, args.depth,
+                  args.height, args.width)
         print(
             json.dumps(
                 {
-                    "metric": f"retinanet_r{args.depth}_640x1024_train_images_per_sec_per_chip",
+                    "metric": f"retinanet_r{args.depth}_{args.height}x{args.width}_train_images_per_sec_per_chip",
                     "batch": b,
                     "value": round(ips, 2),
                     "unit": "images/sec/chip",
