@@ -138,5 +138,38 @@ def test_sharded_predict_matches_single_device():
     np.testing.assert_allclose(np.asarray(ref.boxes), np.asarray(out.boxes),
                                rtol=1e-5, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(out.valid))
+
+
+def test_sharded_predict_with_bic_matches_single_device():
+    """BiC correction composes with DP eval: sharded+corrected == plain
+    jit+corrected, and the correction provably changes scores."""
+    from cl_object_detection_tpu.config import ModelConfig, PredictConfig
+    from cl_object_detection_tpu.eval.predictor import (
+        make_predict_fn,
+        make_sharded_predict_fn,
+    )
+    from cl_object_detection_tpu.il.bic import bic_correct_from_meta
+
+    mesh = create_mesh(MeshConfig())
+    model = create_retinanet(ModelConfig(depth=18, compute_dtype="float32"), 4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.randn(8, 64, 64, 3).astype(np.float32))
+    cfg = PredictConfig(pre_nms_topk=256, nms_impl="iterative",
+                        score_thresh=1e-4)
+    # beta pushes the new-class logits UP: on a prior-initialized model a
+    # downward correction hides behind the per-anchor max over old classes
+    bc = bic_correct_from_meta(
+        {"bic": {"alphas": [1.0], "betas": [3.0]}}, [2, 2], 4)
+
+    plain = make_predict_fn(model, cfg)(variables, images)
+    ref = make_predict_fn(model, cfg, bic_correct=bc)(variables, images)
+    out = make_sharded_predict_fn(model, cfg, mesh,
+                                  bic_correct=bc)(variables, images)
+
+    np.testing.assert_allclose(np.asarray(ref.scores), np.asarray(out.scores),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(out.valid))
+    assert not np.allclose(np.asarray(plain.scores), np.asarray(ref.scores))
     # the batch axis is actually sharded over 'data'
     assert "data" in str(out.scores.sharding.spec)

@@ -4,15 +4,14 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-def run(batch, iters=20):
+def run(batch, iters=20, H=608, W=832):
     import jax, jax.numpy as jnp
     from cl_object_detection_tpu.config import ModelConfig, PredictConfig
     from cl_object_detection_tpu.models import create_retinanet
     from cl_object_detection_tpu.ops.anchors import anchors_for_shape
     from cl_object_detection_tpu.ops.nms import detect_batch
 
-    H, W = 640, 1024
-    pcfg = PredictConfig()
+    pcfg = PredictConfig(topk_method="approx")
     model = create_retinanet(ModelConfig(depth=50), num_classes=20)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
     anchors = jnp.asarray(anchors_for_shape(H, W))
@@ -24,7 +23,7 @@ def run(batch, iters=20):
             score_thresh=pcfg.score_thresh, iou_thresh=pcfg.nms_iou,
             pre_nms_topk=pcfg.pre_nms_topk,
             max_detections=pcfg.max_detections, nms_impl=pcfg.nms_impl,
-            scores_are_logits=True,
+            scores_are_logits=True, topk_method=pcfg.topk_method,
         )
         return jnp.sum(det.scores)
 
