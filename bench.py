@@ -39,8 +39,9 @@ def main():
                               # 640x1024 (12-image noise floor; README
                               # "Shape buckets"). Run `--shape_buckets
                               # 608x832` in training/eval to use it.
-    BATCH = 16   # sweep (tools/bench_sweep.py); 386 img/s at 640x1024 /
-                 # ~479 here with iterative NMS + approx top-k
+    BATCH = 32   # sweep at this frame (tools/bench_sweep.py): 436 @ B8,
+                 # 482 @ B16, 514 @ B32, 520 @ B64 (plateau) — B32 is the
+                 # knee; 640x1024 peaked at 386 @ B16
     ITERS = 20
     # approx top-k: lax.approx_max_k pre-NMS candidate select (>=0.95
     # recall of exact over the anchor axis, tail candidates only; measured
