@@ -173,6 +173,11 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
                         "1 = pure data parallel")
     p.add_argument("--num_data", type=int, default=-1,
                    help="data-axis size; -1 = all remaining devices")
+    p.add_argument("--coordinator_address", default=None,
+                   help="multi-host: jax.distributed coordinator "
+                        "host:port (auto-detected on TPU pods)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--just_train_classifier", type=str2bool, default=False,
                    help="train only the cls/reg output layers (the reference's"
                         " just_train_classifier.py experiment)")

@@ -29,7 +29,9 @@ def main(argv=None):
     parser.add_argument("--scenario", nargs="+", default=["20"])
     parser.add_argument("--state", type=int, default=0)
     parser.add_argument("--epoch", type=int, default=-1)
-    parser.add_argument("--depth", type=int, default=50)
+    parser.add_argument("--depth", type=int, default=None,
+                        help="backbone depth; default: read from the "
+                             "training run's params.json (else 50)")
     parser.add_argument("--port", type=int, default=8500)
     parser.add_argument("--max_batch", type=int, default=8)
     parser.add_argument("--batch_window_ms", type=float, default=5.0)
@@ -55,13 +57,28 @@ def main(argv=None):
     ckpt = CheckpointManager(f"{a.root_dir}/checkpoint", a.scenario)
     tree, il_meta = ckpt.restore(a.state, a.epoch)
     num_classes = il_meta["num_classes"] if il_meta else 20
-    model = create_retinanet(ModelConfig(depth=a.depth), num_classes)
+
+    # model depth + serving frame default to what the run was trained with
+    # (params.json written next to the checkpoints) so a bare
+    # `serve --root_dir <run>` reconstructs the right architecture
+    run_cfg = {}
+    try:
+        with open(f"{ckpt.state_dir(a.state)}/params.json") as f:
+            run_cfg = json.load(f)
+    except (OSError, ValueError):
+        pass
+    depth = a.depth if a.depth is not None else run_cfg.get("model", {}).get("depth", 50)
+    model = create_retinanet(ModelConfig(depth=depth), num_classes)
     variables = {
         "params": jax.tree.map(jnp.asarray, tree["params"]),
         "batch_stats": jax.tree.map(jnp.asarray, tree["batch_stats"]),
     }
     predict = make_predict_fn(model, PredictConfig(score_thresh=0.05))
-    dcfg = DataConfig()
+    run_data = run_cfg.get("data", {})
+    dcfg = DataConfig(
+        height=run_data.get("height", DataConfig.height),
+        width=run_data.get("width", DataConfig.width),
+    )
 
     def letterbox(img):
         """Fit ANY orientation into the single landscape serving frame:
@@ -79,11 +96,15 @@ def main(argv=None):
     # max_batch so ONE compiled shape serves every request
     work: "queue.Queue" = queue.Queue()
 
+    # warm up (and validate model-vs-checkpoint compatibility) BEFORE
+    # accepting traffic: a depth/frame mismatch must kill the process at
+    # startup, not the background device thread after the socket is open
+    dummy = np.zeros((a.max_batch, dcfg.height, dcfg.width, 3), np.float32)
+    predict(variables, jnp.asarray(dummy))
+    print(f"serving on :{a.port} (batch {a.max_batch}, depth {depth}, "
+          f"frame {dcfg.height}x{dcfg.width})")
+
     def device_loop():
-        # warm up the compile with a dummy batch
-        dummy = np.zeros((a.max_batch, dcfg.height, dcfg.width, 3), np.float32)
-        predict(variables, jnp.asarray(dummy))
-        print(f"serving on :{a.port} (batch {a.max_batch})")
         while True:
             first = work.get()
             batch = [first]
@@ -96,26 +117,32 @@ def main(argv=None):
                     batch.append(work.get(timeout=timeout))
                 except queue.Empty:
                     break
-            images = np.zeros((a.max_batch, dcfg.height, dcfg.width, 3), np.float32)
-            scales = np.ones(a.max_batch, np.float32)
-            for i, (img, _done, _out) in enumerate(batch):
-                images[i], scales[i] = letterbox(img)
-            det = predict(variables, jnp.asarray(images))
-            boxes = np.asarray(det.boxes)
-            scores = np.asarray(det.scores)
-            labels = np.asarray(det.labels)
-            valid = np.asarray(det.valid)
-            for i, (_img, done, out) in enumerate(batch):
-                keep = valid[i] & (scores[i] > a.score_thresh)
-                out["detections"] = [
-                    {
-                        "box": (boxes[i, d] / scales[i]).tolist(),
-                        "score": float(scores[i, d]),
-                        "class_id": int(labels[i, d]),
-                    }
-                    for d in np.where(keep)[0]
-                ]
-                done.set()
+            try:
+                images = np.zeros(
+                    (a.max_batch, dcfg.height, dcfg.width, 3), np.float32)
+                scales = np.ones(a.max_batch, np.float32)
+                for i, (img, _done, _out) in enumerate(batch):
+                    images[i], scales[i] = letterbox(img)
+                det = predict(variables, jnp.asarray(images))
+                boxes = np.asarray(det.boxes)
+                scores = np.asarray(det.scores)
+                labels = np.asarray(det.labels)
+                valid = np.asarray(det.valid)
+                for i, (_img, done, out) in enumerate(batch):
+                    keep = valid[i] & (scores[i] > a.score_thresh)
+                    out["detections"] = [
+                        {
+                            "box": (boxes[i, d] / scales[i]).tolist(),
+                            "score": float(scores[i, d]),
+                            "class_id": int(labels[i, d]),
+                        }
+                        for d in np.where(keep)[0]
+                    ]
+                    done.set()
+            except Exception as e:  # keep serving; fail the affected requests
+                for _img, done, out in batch:
+                    out.setdefault("error", f"{type(e).__name__}: {e}")
+                    done.set()
 
     threading.Thread(target=device_loop, daemon=True).start()
 
@@ -150,9 +177,13 @@ def main(argv=None):
             done = threading.Event()
             out: dict = {}
             work.put((rgb, done, out))
-            done.wait(timeout=60)
+            if not done.wait(timeout=60):
+                self.send_response(503)
+                self.end_headers()
+                self.wfile.write(b'{"error": "inference timeout"}')
+                return
             body = json.dumps(out).encode()
-            self.send_response(200)
+            self.send_response(500 if "error" in out else 200)
             self.send_header("Content-Type", "application/json")
             self.end_headers()
             self.wfile.write(body)

@@ -29,6 +29,13 @@ def main(argv=None):
     maybe_force_cpu(a)
     cfg = args_to_config(a)
 
+    # multi-host init must precede any device use (SURVEY.md §2.3); no-op
+    # unless distributed flags are set (TPU pods autodetect them)
+    if a.coordinator_address or (a.num_processes and a.num_processes > 1):
+        from ..parallel.mesh import init_distributed
+
+        init_distributed(a.coordinator_address, a.num_processes, a.process_id)
+
     if cfg.debug:
         # the reference's --debug raised instead of swallowing exceptions
         # (train.py:102-111); we already fail fast — here --debug true adds

@@ -97,3 +97,16 @@ def test_opt_state_resume_with_target(tmp_path, state):
     assert len(restored_leaves) == len(orig_leaves)
     for a, b in zip(orig_leaves, restored_leaves):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_nearest_epoch(tmp_path):
+    from cl_object_detection_tpu.utils.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(str(tmp_path), ["5"], keep_every=5)
+    for e in (2, 5, 9):
+        import os
+        os.makedirs(ckpt.epoch_dir(0, e), exist_ok=True)
+    assert ckpt.nearest_epoch(0, 9) == 9
+    assert ckpt.nearest_epoch(0, 8) == 5
+    assert ckpt.nearest_epoch(0, 4) == 2
+    assert ckpt.nearest_epoch(0, 1) is None
