@@ -51,7 +51,11 @@ def make_toy_dataset(
             x = int(rng.randint(0, max(1, w - bw)))
             y = int(rng.randint(0, max(1, h - bh)))
             color = np.zeros(3, np.uint8)
-            color[cls % 3] = 200 + 10 * (cls // 3)
+            # clamp: >17 classes would wrap uint8 (260 -> 4) and produce
+            # near-invisible boxes; keep the per-class shade distinct below
+            color[cls % 3] = min(255, 200 + 10 * (cls // 3))
+            if cls // 3 >= 6:  # distinguish clamped classes via 2nd channel
+                color[(cls + 1) % 3] = 60 + 20 * (cls // 3)
             img[y : y + bh, x : x + bw] = color
             annotations.append(
                 {
