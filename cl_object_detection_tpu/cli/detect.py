@@ -53,6 +53,8 @@ def main(argv=None):
     parser.add_argument("--bic", action="store_true",
                         help="apply the checkpoint's BiC bias correction "
                              "(reference model.py:504-505)")
+    parser.add_argument("--quantize", action="store_true",
+                        help="int8 dynamic-PTQ convs (ops/quant.py)")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--torch_ckpt", default=None,
                         help="a REFERENCE-trained .pt checkpoint (or its "
@@ -109,7 +111,8 @@ def main(argv=None):
             if bic_correct is None:
                 print("warning: --bic requested but the checkpoint carries "
                       "no BiC state")
-    predict = make_predict_fn(model, PredictConfig(), bic_correct=bic_correct)
+    predict = make_predict_fn(
+        model, PredictConfig(quantize=a.quantize), bic_correct=bic_correct)
     dcfg = DataConfig()
 
     os.makedirs(a.out_dir, exist_ok=True)

@@ -36,6 +36,8 @@ def main(argv=None):
     parser.add_argument("--max_batch", type=int, default=8)
     parser.add_argument("--batch_window_ms", type=float, default=5.0)
     parser.add_argument("--score_thresh", type=float, default=0.3)
+    parser.add_argument("--quantize", action="store_true",
+                        help="int8 dynamic-PTQ convs (ops/quant.py)")
     parser.add_argument("--cpu", action="store_true")
     a = parser.parse_args(argv)
 
@@ -73,7 +75,8 @@ def main(argv=None):
         "params": jax.tree.map(jnp.asarray, tree["params"]),
         "batch_stats": jax.tree.map(jnp.asarray, tree["batch_stats"]),
     }
-    predict = make_predict_fn(model, PredictConfig(score_thresh=0.05))
+    predict = make_predict_fn(
+        model, PredictConfig(score_thresh=0.05, quantize=a.quantize))
     run_data = run_cfg.get("data", {})
     dcfg = DataConfig(
         height=run_data.get("height", DataConfig.height),

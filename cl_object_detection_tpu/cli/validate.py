@@ -34,6 +34,10 @@ def get_parser():
                         help="pre-NMS candidate selection (approx = "
                              "lax.approx_max_k, the bench.py fast path; "
                              "measured mAP-neutral on the toy eval)")
+    parser.add_argument("--quantize", type=str2bool, default=False,
+                        help="int8 dynamic-PTQ convs on the predict path "
+                             "(ops/quant.py); A/B against fp before "
+                             "trusting a deployment")
     parser.add_argument("--eval_on_train", type=str2bool, default=False)
     parser.add_argument("--just_val", type=str2bool, default=False)
     parser.add_argument("--ignore_other_img", type=str2bool, default=False)
@@ -80,6 +84,7 @@ def run_validation(a, state: Optional[int] = None, epochs: Optional[List[int]] =
     predict_cfg = PredictConfig(
         score_thresh=threshold,
         topk_method=getattr(a, "topk_method", "exact"),
+        quantize=getattr(a, "quantize", False),
     )
     evaluator = Evaluator(
         coco, states, image_dir, cfg.data, predict_cfg, state_index=state,

@@ -269,6 +269,9 @@ class PredictConfig:
                                        # (lax.approx_max_k, ~6x faster over
                                        # 123k anchors, >=0.95 recall — tail
                                        # candidates only; see ops/nms.py)
+    quantize: bool = False             # int8 convs on the predict path
+                                       # (dynamic PTQ, ops/quant.py); head
+                                       # output convs stay bf16
 
 
 # ---------------------------------------------------------------------------

@@ -41,13 +41,19 @@ def make_predict_fn(
     ):
         nms_impl = "iterative"  # pallas unavailable off-TPU / non-256 topk
 
+    apply_fn = model.apply
+    if getattr(predict_cfg, "quantize", False):
+        from ..ops.quant import quantized_apply
+
+        apply_fn = quantized_apply(model)  # int8 convs, head outputs bf16
+
     @jax.jit
     def predict(variables, images):
         from ..data.transforms import logical_image_hw
 
         h, w = logical_image_hw(images)
         anchors = jnp.asarray(anchors_for_shape(h, w))
-        logits, regression = model.apply(variables, images, enable_act=False)
+        logits, regression = apply_fn(variables, images, enable_act=False)
         if bic_correct is not None:
             logits = bic_correct(logits)
         from ..ops.nms import detect_batch
