@@ -80,9 +80,13 @@ class HerdSampler:
         data_cfg,
         per_num: int,
         future_img_ids: Sequence[int] = (),
+        mesh=None,
     ) -> Dict[int, List[int]]:
         from ..data.loader import BatchLoader
+        from ..parallel.mesh import tool_placers
 
+        put, rep = tool_placers(mesh)
+        variables = rep(variables)
         future = set(future_img_ids)
 
         # 1. classify images by fg ratio
@@ -104,7 +108,10 @@ class HerdSampler:
         loader = BatchLoader(dataset, data_cfg, shuffle=False, augment=False)
         feats_by_img: Dict[int, np.ndarray] = {}
         for batch in loader:
-            f = np.asarray(self._feature_fn(variables, batch.images))
+            # with a (single-process) mesh the image batch shards over
+            # 'data' — FPN feature extraction is per-image, so DP herding
+            # needs no collectives
+            f = np.asarray(self._feature_fn(variables, put(batch.images)))
             for b, img_id in enumerate(batch.image_ids.tolist()):
                 if img_id in img_classes and img_id not in feats_by_img:
                     feats_by_img[img_id] = f[b]

@@ -76,19 +76,26 @@ def make_importance_step(model):
     return step
 
 
-def compute_importance(model, variables, anchors, loader) -> Any:
+def compute_importance(model, variables, anchors, loader, mesh=None) -> Any:
     """Full-dataset pass (mas.py:91-130): mean |grad| per param, zeroed on
-    excluded leaves. Returns a tree like params."""
-    from ..ops.anchors import as_anchor_provider
+    excluded leaves. Returns a tree like params.
 
+    With ``mesh`` (single-process), batches shard over the ``data`` axis:
+    the |grad| accumulation is a batch reduction, so GSPMD psums it across
+    chips and the importance tree comes back replicated."""
+    from ..ops.anchors import as_anchor_provider
+    from ..parallel.mesh import tool_placers
+
+    put, rep = tool_placers(mesh)
+    variables = rep(variables)
     provider = as_anchor_provider(anchors)
     step = make_importance_step(model)
     acc = jax.tree.map(jnp.zeros_like, variables["params"])
     n = 0
     for batch in loader:
-        g = step(variables, jnp.asarray(provider(batch.images)),
-                 jnp.asarray(batch.images), jnp.asarray(batch.boxes),
-                 jnp.asarray(batch.labels))
+        g = step(variables, rep(jnp.asarray(provider(batch.images))),
+                 put(batch.images), put(batch.boxes),
+                 put(batch.labels))
         acc = jax.tree.map(jnp.add, acc, g)
         n += 1
     if n:

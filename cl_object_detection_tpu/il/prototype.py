@@ -67,19 +67,25 @@ def make_batch_prototype_fn(model, num_classes: int, num_anchors: int = 9):
 
 
 def compute_prototype_features(
-    model, variables, anchors, loader, num_classes: int
+    model, variables, anchors, loader, num_classes: int, mesh=None
 ) -> np.ndarray:
-    """Dataset pass -> (C, 9, D) prototype features (prototype.py:107-141)."""
-    from ..ops.anchors import as_anchor_provider
+    """Dataset pass -> (C, 9, D) prototype features (prototype.py:107-141).
 
+    With ``mesh`` (single-process), batches shard over ``data``; the
+    (C, 9, D) sums are batch reductions, psum'ed by GSPMD."""
+    from ..ops.anchors import as_anchor_provider
+    from ..parallel.mesh import tool_placers
+
+    put, rep = tool_placers(mesh)
+    variables = rep(variables)
     provider = as_anchor_provider(anchors)
     step = make_batch_prototype_fn(model, num_classes)
     total = None
     counts = None
     for batch in loader:
-        s, c = step(variables, jnp.asarray(provider(batch.images)),
-                    jnp.asarray(batch.images),
-                    jnp.asarray(batch.boxes), jnp.asarray(batch.labels))
+        s, c = step(variables, rep(jnp.asarray(provider(batch.images))),
+                    put(batch.images),
+                    put(batch.boxes), put(batch.labels))
         s, c = np.asarray(s, np.float64), np.asarray(c, np.float64)
         total = s if total is None else total + s
         counts = c if counts is None else counts + c
@@ -119,43 +125,80 @@ def prototype_loss_from_batch(
     return jnp.mean(jnp.clip(margin - dist, 0.0)) * weight
 
 
+def make_image_feature_fn(model, num_classes: int, num_anchors: int = 9):
+    """Jitted: batch -> per-image ((B, C, D) class features, (B, C)
+    positive-anchor counts). An image's class feature is the mean unfolded
+    feature over that class's positive (cell, slot) pairs — the quantity
+    prototype-herd sampling scores against (prototype.py:143-220)."""
+
+    @jax.jit
+    def step(variables, anchors, images, boxes, labels):
+        cls, reg, feats, unfolded = model.apply(
+            variables, images, method="classification_features"
+        )
+        B, cells, D = unfolded.shape
+
+        def per_image(feat, boxes_i, labels_i):
+            valid = labels_i >= 0
+            iou = pairwise_iou(anchors, boxes_i)
+            iou = jnp.where(valid[None, :], iou, -1.0)
+            pos = jnp.max(iou, axis=1) >= 0.5
+            a_label = jnp.take(labels_i, jnp.argmax(iou, axis=1))
+            pos_cs = pos.reshape(cells, num_anchors)
+            lab_cs = a_label.reshape(cells, num_anchors)
+            onehot = jax.nn.one_hot(
+                jnp.clip(lab_cs, 0, num_classes - 1), num_classes,
+                dtype=jnp.float32,
+            ) * (pos_cs & (lab_cs >= 0))[..., None]            # (cells, 9, C)
+            w = jnp.sum(onehot, axis=1)                        # (cells, C)
+            sums = jnp.einsum("ck,cd->kd", w, feat)            # (C, D)
+            counts = jnp.sum(w, axis=0)                        # (C,)
+            return sums / jnp.maximum(counts[:, None], 1.0), counts
+
+        return jax.vmap(per_image)(unfolded, boxes, labels)
+
+    return step
+
+
 def prototype_herd_scores(
     model, variables, anchors, dataset, data_cfg,
     prototypes: np.ndarray,          # (C, 9, D)
+    mesh=None,
 ) -> Dict[int, Dict[int, float]]:
     """Per (class, image) distance scores for prototype-herd sampling
     (prototype.py:143-220): an image's class feature = mean unfolded
     feature over that class's positive anchors; score = L2 distance to the
-    slot-averaged class prototype."""
+    slot-averaged class prototype. One jitted call per batch (the reference
+    — and this module before round 2 — ran one forward per image); with
+    ``mesh`` (single-process) the batch additionally shards over ``data``."""
     from ..data.loader import BatchLoader
 
     from ..ops.anchors import as_anchor_provider
+    from ..parallel.mesh import tool_placers
 
     num_classes = prototypes.shape[0]
+    put, rep = tool_placers(mesh)
+    variables = rep(variables)
     provider = as_anchor_provider(anchors)
-    step = make_batch_prototype_fn(model, num_classes)
+    step = make_image_feature_fn(model, num_classes)
     proto_mean = prototypes.mean(axis=1)                       # (C, D)
     loader = BatchLoader(dataset, data_cfg, shuffle=False, augment=False)
     scores: Dict[int, Dict[int, float]] = {c: {} for c in range(num_classes)}
     seen = set()
     for batch in loader:
+        feat, cnt = step(
+            variables,
+            rep(jnp.asarray(provider(batch.images))),
+            put(batch.images), put(batch.boxes), put(batch.labels),
+        )
+        feat, cnt = np.asarray(feat), np.asarray(cnt)          # (B,C,D),(B,C)
         for b, img_id in enumerate(batch.image_ids.tolist()):
             if img_id in seen:
                 continue
             seen.add(img_id)
-            s, c = step(
-                variables,
-                jnp.asarray(provider(batch.images)),
-                jnp.asarray(batch.images[b : b + 1]),
-                jnp.asarray(batch.boxes[b : b + 1]),
-                jnp.asarray(batch.labels[b : b + 1]),
-            )
-            s, c = np.asarray(s), np.asarray(c)
-            feat = s.sum(axis=1) / np.clip(c.sum(axis=1)[:, None], 1, None)  # (C, D)
-            present = c.sum(axis=1) > 0
-            for cls in np.where(present)[0]:
+            for cls in np.where(cnt[b] > 0)[0]:
                 scores[int(cls)][img_id] = float(
-                    np.linalg.norm(feat[cls] - proto_mean[cls])
+                    np.linalg.norm(feat[b, cls] - proto_mean[cls])
                 )
     return scores
 

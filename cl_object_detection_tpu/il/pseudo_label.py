@@ -41,13 +41,24 @@ def generate_pseudo_labels(
     data_cfg,
     cfg: PseudoLabelConfig,
     label_to_cat: Dict[int, int],
+    mesh=None,
 ) -> Dict[int, List[dict]]:
-    """Returns {image_id: [coco-ann dicts]} (persuado_label.py:24-97)."""
+    """Returns {image_id: [coco-ann dicts]} (persuado_label.py:24-97).
+
+    With ``mesh`` (single-process), the teacher inference runs through the
+    sharded DP predict path (eval/predictor.make_sharded_predict_fn)."""
+    import jax
+
     predict_cfg = PredictConfig(
         score_thresh=0.05, nms_iou=0.5,
         max_detections=cfg.max_labels_per_image * 4,
     )
-    predict = make_predict_fn(model, predict_cfg)
+    if mesh is not None and jax.process_count() == 1:
+        from ..eval.predictor import make_sharded_predict_fn
+
+        predict = make_sharded_predict_fn(model, predict_cfg, mesh)
+    else:
+        predict = make_predict_fn(model, predict_cfg)
     loader = BatchLoader(dataset, data_cfg, shuffle=False, augment=False)
 
     out: Dict[int, List[dict]] = {}

@@ -66,18 +66,24 @@ def make_similarity_step(model, num_new: int, num_old: int,
 
 
 def compute_similarity(model, variables, anchors, loader,
-                       num_new: int, num_old: int) -> np.ndarray:
-    """Full-dataset similarity matrix (weight_init.py:26-72)."""
-    from ..ops.anchors import as_anchor_provider
+                       num_new: int, num_old: int, mesh=None) -> np.ndarray:
+    """Full-dataset similarity matrix (weight_init.py:26-72).
 
+    With ``mesh`` (single-process), batches shard over ``data``; the
+    per-class sums/counts are batch reductions, psum'ed by GSPMD."""
+    from ..ops.anchors import as_anchor_provider
+    from ..parallel.mesh import tool_placers
+
+    put, rep = tool_placers(mesh)
+    variables = rep(variables)
     provider = as_anchor_provider(anchors)
     step = make_similarity_step(model, num_new, num_old)
     total = np.zeros((num_new, num_old), np.float64)
     count = np.zeros((num_new,), np.float64)
     for batch in loader:
-        s, c = step(variables, jnp.asarray(provider(batch.images)),
-                    jnp.asarray(batch.images),
-                    jnp.asarray(batch.boxes), jnp.asarray(batch.labels))
+        s, c = step(variables, rep(jnp.asarray(provider(batch.images))),
+                    put(batch.images),
+                    put(batch.boxes), put(batch.labels))
         total += np.asarray(s)
         count += np.asarray(c)
     sim = total / np.clip(count[:, None], 1.0, None)

@@ -167,6 +167,30 @@ def _put_like_params(mesh: Mesh, opt_state, params, model_axis: str):
     return rec(opt_state)
 
 
+def tool_placers(mesh: Optional[Mesh]):
+    """``(put_batch, put_replicated)`` for the IL tool passes.
+
+    Single-process mesh (the v5e-8 single-host case): batch arrays shard
+    over the ``data`` axis and trees replicate, so the full-dataset sidecar
+    passes (MAS importance, similarity, prototype features, herding
+    features, pseudo-labels) run data-parallel with GSPMD inserting the
+    cross-chip reductions. Multi-host (or no mesh): identity placement —
+    every host computes the full pass locally so sidecars agree without
+    collectives (see ILTrainer._proc_shard).
+    """
+    import jax.numpy as jnp
+
+    if mesh is None or jax.process_count() > 1:
+        return (lambda x: jnp.asarray(x)), (lambda t: t)
+    repl = replicate(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, data_sharding(mesh, x.ndim))
+
+    return put, (lambda t: jax.device_put(t, repl))
+
+
 def global_batch_from_local(mesh: Mesh, batch):
     """Assemble a GLOBAL batch from this host's local shard.
 

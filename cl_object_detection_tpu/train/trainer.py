@@ -473,7 +473,7 @@ class ILTrainer:
         else:
             self.prototype_features = compute_prototype_features(
                 self.model, self.variables(), self.anchors_for, loader,
-                num_classes,
+                num_classes, mesh=self.mesh,
             )
             self.ckpt.save_array_sidecar(
                 prev, "prototype_features", [self.prototype_features]
@@ -494,7 +494,7 @@ class ILTrainer:
             prev_ds = self._prev_state_dataset(prev)
             self.herd_sampler.sample(
                 self.variables(), prev_ds, self.cfg.data, cfg.sample_num,
-                future_img_ids=self._future_img_ids(),
+                future_img_ids=self._future_img_ids(), mesh=self.mesh,
             )
             self.dataset_replay.reset_explicit(
                 cfg.sample_num, self.herd_sampler.examplar_list, self.cur_state
@@ -504,7 +504,7 @@ class ILTrainer:
             prev_ds = self._prev_state_dataset(prev)
             scores = prototype_herd_scores(
                 self.model, self.variables(), self.anchors_for, prev_ds,
-                self.cfg.data, self.prototype_features,
+                self.cfg.data, self.prototype_features, mesh=self.mesh,
             )
             future = set(self._future_img_ids())
             scores = {
@@ -669,7 +669,8 @@ class ILTrainer:
         else:
             loader = self._make_train_loader(sharded=False)
             self.mas_importance = compute_importance(
-                self.model, self.variables(), self.anchors_for, loader
+                self.model, self.variables(), self.anchors_for, loader,
+                mesh=self.mesh,
             )
             self.ckpt.save_array_sidecar(prev, "mas_importance", self.mas_importance)
         self.mas_importance = self._replicate(self.mas_importance)
@@ -683,6 +684,7 @@ class ILTrainer:
         pseudo = generate_pseudo_labels(
             self.teacher_model, self.teacher_variables, self.dataset_train,
             self.cfg.data, cfg.pseudo, self.states.inverse_label_map(),
+            mesh=self.mesh,
         )
         self.dataset_train.pseudo_labels = pseudo
         self.train_loader = self._make_train_loader()
@@ -752,6 +754,7 @@ class ILTrainer:
                     self.model, self.variables(), self.anchors_for, loader,
                     num_new=st.num_new_class,
                     num_old=st.num_past_class,
+                    mesh=self.mesh,
                 )
                 self.ckpt.save_array_sidecar(
                     self.cur_state - 1, "similarity", [similarity]
@@ -771,7 +774,8 @@ class ILTrainer:
     def _update_mas_for_next(self) -> None:
         loader = self._make_train_loader(sharded=False)
         self.mas_importance = compute_importance(
-            self.model, self.variables(), self.anchors_for, loader
+            self.model, self.variables(), self.anchors_for, loader,
+            mesh=self.mesh,
         )
         self.ckpt.save_array_sidecar(self.cur_state, "mas_importance",
                                      self.mas_importance)
