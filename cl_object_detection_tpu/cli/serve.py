@@ -63,12 +63,16 @@ def main(argv=None):
     # model depth + serving frame default to what the run was trained with
     # (params.json written next to the checkpoints) so a bare
     # `serve --root_dir <run>` reconstructs the right architecture
+    # cli.train writes params.json in the START state's dir only — when
+    # serving a later IL state, fall back through earlier state dirs
     run_cfg = {}
-    try:
-        with open(f"{ckpt.state_dir(a.state)}/params.json") as f:
-            run_cfg = json.load(f)
-    except (OSError, ValueError):
-        pass
+    for s in range(a.state, -1, -1):
+        try:
+            with open(f"{ckpt.state_dir(s)}/params.json") as f:
+                run_cfg = json.load(f)
+            break
+        except (OSError, ValueError):
+            continue
     depth = a.depth if a.depth is not None else run_cfg.get("model", {}).get("depth", 50)
     model = create_retinanet(ModelConfig(depth=depth), num_classes)
     variables = {
@@ -144,6 +148,8 @@ def main(argv=None):
                     done.set()
             except Exception as e:  # keep serving; fail the affected requests
                 for _img, done, out in batch:
+                    if done.is_set():
+                        continue  # already answered successfully this batch
                     out.setdefault("error", f"{type(e).__name__}: {e}")
                     done.set()
 

@@ -110,9 +110,10 @@ def run_validation(a, state: Optional[int] = None, epochs: Optional[List[int]] =
                              f"not divisible by the data axis ({ndata})")
     suffix = "_bic" if use_bic else ""
 
-    def json_path(epoch):
+    def json_path(epoch, with_bic=None):
+        sfx = suffix if with_bic is None else ("_bic" if with_bic else "")
         return os.path.join(
-            result_dir, f"{a.dataset}_results_epoch{epoch}{suffix}.json")
+            result_dir, f"{a.dataset}_results_epoch{epoch}{sfx}.json")
 
     # resolve epoch list, split into cached rows vs checkpoints to predict
     rows_by_epoch = {}
@@ -146,8 +147,12 @@ def run_validation(a, state: Optional[int] = None, epochs: Optional[List[int]] =
                 counts = [s.num_new_class for s in states.states]
                 bc = bic_correct_from_meta(il_meta, counts, num_classes)
                 if bc is None:
+                    # rows predicted uncorrected must NOT land in the
+                    # _bic-suffixed json (it would poison --just_val)
                     print(f"warning: --bic requested but the epoch "
-                          f"{epoch} checkpoint carries no BiC state")
+                          f"{epoch} checkpoint carries no BiC state; "
+                          f"writing its UNcorrected rows without the "
+                          f"_bic suffix")
                 else:
                     bic_by_epoch[epoch] = bc
 
@@ -160,7 +165,8 @@ def run_validation(a, state: Optional[int] = None, epochs: Optional[List[int]] =
             bic_correct_by_key=bic_by_epoch,
         )
         for epoch, rows in predicted.items():
-            with open(json_path(epoch), "w") as f:
+            with open(json_path(epoch, use_bic and epoch in bic_by_epoch),
+                      "w") as f:
                 json.dump(rows, f)
             rows_by_epoch[epoch] = rows
 

@@ -103,18 +103,40 @@ class Evaluator:
         (evaluator.py:383-426) because its predict is batch-size-1; here
         the host decode pipeline is the repeated cost, so each decoded
         batch is pushed through every epoch's weights before moving on —
-        one decode pass total, E jitted predict calls per batch (one
-        compiled program shared by all, weights are just inputs)."""
+        one decode pass total, E jitted predict calls per batch. ONE
+        compiled program is shared by every epoch (weights are inputs;
+        the BiC corrections — bic_correct_from_meta closures exposing
+        .scale/.offset — ride in as per-class runtime vectors, identity
+        for uncorrected epochs), so the 20s–5min remote TPU compile is
+        paid once, not once per epoch."""
         bic_correct_by_key = bic_correct_by_key or {}
+        bcs = [bic_correct_by_key.get(k) for k in variables_by_key]
+        vectorizable = all(
+            b is None or getattr(b, "scale", None) is not None for b in bcs
+        )
         fns = {}
-        for key in variables_by_key:
-            bc = bic_correct_by_key.get(key)
+        if vectorizable:
             if mesh is not None:
-                fns[key] = make_sharded_predict_fn(model, self.predict_cfg,
-                                                   mesh, bic_correct=bc)
+                shared = make_sharded_predict_fn(model, self.predict_cfg, mesh)
             else:
-                fns[key] = make_predict_fn(model, self.predict_cfg,
-                                           bic_correct=bc)
+                shared = make_predict_fn(model, self.predict_cfg)
+            num_knowing = self.states[self.state_index].num_knowing_class
+            identity = (np.ones(num_knowing, np.float32),
+                        np.zeros(num_knowing, np.float32))
+            for key in variables_by_key:
+                bc = bic_correct_by_key.get(key)
+                scale, offset = (bc.scale, bc.offset) if bc else identity
+                fns[key] = (lambda v, im, s=scale, o=offset:
+                            shared(v, im, s, o))
+        else:  # custom correction closures: one program per epoch
+            for key in variables_by_key:
+                bc = bic_correct_by_key.get(key)
+                if mesh is not None:
+                    fns[key] = make_sharded_predict_fn(
+                        model, self.predict_cfg, mesh, bic_correct=bc)
+                else:
+                    fns[key] = make_predict_fn(model, self.predict_cfg,
+                                               bic_correct=bc)
         seen: set = set()
         results: Dict[int, List[dict]] = {k: [] for k in variables_by_key}
         it = self.loader

@@ -48,7 +48,11 @@ def make_predict_fn(
         apply_fn = quantized_apply(model)  # int8 convs, head outputs bf16
 
     @jax.jit
-    def predict(variables, images):
+    def predict(variables, images, class_scale=None, class_offset=None):
+        # class_scale/class_offset: optional per-class affine on the
+        # logits (the BiC correction as RUNTIME arrays) — lets multi-
+        # epoch eval share ONE compiled program across checkpoints with
+        # different bias states (evaluator.predict_dataset_multi)
         from ..data.transforms import logical_image_hw
 
         h, w = logical_image_hw(images)
@@ -56,6 +60,9 @@ def make_predict_fn(
         logits, regression = apply_fn(variables, images, enable_act=False)
         if bic_correct is not None:
             logits = bic_correct(logits)
+        elif class_scale is not None:
+            logits = (logits * class_scale[None, None, :]
+                      + class_offset[None, None, :])
         from ..ops.nms import detect_batch
 
         # sigmoid is monotone: selection happens on logits, sigmoid only
@@ -131,13 +138,18 @@ def make_sharded_predict_fn(
     base = make_predict_fn(model, predict_cfg, bic_correct)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-    placed = [None, None]  # replicate the variables tree once, not per batch
+    # replicate each distinct variables tree once, not per batch (keyed by
+    # id with a strong ref so multi-epoch eval cycling E trees per batch
+    # doesn't thrash a single-slot cache)
+    placed: dict = {}
 
-    def predict(variables, images):
-        if placed[0] is not variables:
-            placed[0] = variables
-            placed[1] = jax.device_put(variables, repl)
+    def predict(variables, images, *extra):
+        ent = placed.get(id(variables))
+        if ent is None or ent[0] is not variables:
+            ent = (variables, jax.device_put(variables, repl))
+            placed[id(variables)] = ent
         images = jax.device_put(images, data)
-        return base(placed[1], images)
+        extra = tuple(jax.device_put(e, repl) for e in extra)
+        return base(ent[1], images, *extra)
 
     return predict

@@ -79,7 +79,18 @@ def bic_correct_from_meta(il_meta, new_class_counts: Sequence[int],
     alphas = jnp.asarray(il_meta["bic"]["alphas"], jnp.float32)
     betas = jnp.asarray(il_meta["bic"]["betas"], jnp.float32)
     correct = make_bic_correct(new_class_counts, num_knowing)
-    return lambda logits: correct(logits, alphas, betas)
+    fn = lambda logits: correct(logits, alphas, betas)
+    # expose the correction as per-class (scale, offset) vectors so
+    # multi-epoch eval can pass them as RUNTIME args to one shared
+    # compiled predict instead of baking a closure per epoch
+    # (eval/evaluator.predict_dataset_multi)
+    s = np.asarray(class_state_index(new_class_counts)[:num_knowing])
+    al = np.asarray(il_meta["bic"]["alphas"], np.float32)
+    be = np.asarray(il_meta["bic"]["betas"], np.float32)
+    idx = np.maximum(s - 1, 0)
+    fn.scale = np.where(s == 0, 1.0, al[idx]).astype(np.float32)
+    fn.offset = np.where(s == 0, 0.0, be[idx]).astype(np.float32)
+    return fn
 
 
 class BicTrainer:

@@ -34,6 +34,14 @@ def scenario_tag(scenario) -> str:
     return "_".join(str(s) for s in scenario)
 
 
+def _is_primary() -> bool:
+    """Multi-host: only process 0 writes checkpoints/sidecars. Replicated
+    trees are locally addressable on every host, so a single writer loses
+    nothing; unguarded, N hosts would race rmtree/rename on a shared
+    experiment dir (and duplicate the ~0.5 GB device->host pull)."""
+    return jax.process_index() == 0
+
+
 class CheckpointManager:
     def __init__(self, root: str, scenario, keep_every: int = 5):
         self.root = os.path.abspath(root)
@@ -104,6 +112,8 @@ class CheckpointManager:
         """
         self.wait()
         path = self.epoch_dir(state, epoch)
+        if not _is_primary():
+            return path
         tree = {
             "params": train_state.params,
             "batch_stats": train_state.batch_stats,
@@ -168,6 +178,8 @@ class CheckpointManager:
     # ------------------------------------------------------------------
     def auto_delete(self, state: int, current_epoch: int) -> None:
         """Keep epoch%keep_every==0 and the current epoch (params.py:211-222)."""
+        if not _is_primary():
+            return
         for e in self.epochs(state):
             if e == current_epoch or e % self.keep_every == 0:
                 continue
@@ -178,6 +190,8 @@ class CheckpointManager:
         """JSON sidecar per state dir (replaces the reference's pickles:
         similarity.pickle, mas_importance.pickle, persuado_label pickles...)."""
         path = os.path.join(self.state_dir(state), name + ".json")
+        if not _is_primary():
+            return path
         with open(path, "w") as f:
             json.dump(obj, f, default=_jsonable)
         return path
@@ -193,6 +207,8 @@ class CheckpointManager:
         """npz sidecar for array-valued artifacts (MAS importance,
         prototype features)."""
         path = os.path.join(self.state_dir(state), name + ".npz")
+        if not _is_primary():
+            return path
         flat, _ = jax.tree_util.tree_flatten_with_path(tree)
         arrays = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
         np.savez(path, **arrays)

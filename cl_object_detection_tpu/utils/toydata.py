@@ -55,7 +55,7 @@ def make_toy_dataset(
             # near-invisible boxes; keep the per-class shade distinct below
             color[cls % 3] = min(255, 200 + 10 * (cls // 3))
             if cls // 3 >= 6:  # distinguish clamped classes via 2nd channel
-                color[(cls + 1) % 3] = 60 + 20 * (cls // 3)
+                color[(cls + 1) % 3] = min(255, 60 + 20 * (cls // 3))
             img[y : y + bh, x : x + bw] = color
             annotations.append(
                 {

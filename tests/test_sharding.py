@@ -173,3 +173,33 @@ def test_sharded_predict_with_bic_matches_single_device():
     assert not np.allclose(np.asarray(plain.scores), np.asarray(ref.scores))
     # the batch axis is actually sharded over 'data'
     assert "data" in str(out.scores.sharding.spec)
+
+
+def test_bic_vector_args_match_closure():
+    """BiC as runtime (scale, offset) vectors == the baked-in closure —
+    the one-compiled-program-for-all-epochs path of
+    evaluator.predict_dataset_multi."""
+    from cl_object_detection_tpu.config import ModelConfig, PredictConfig
+    from cl_object_detection_tpu.eval.predictor import make_predict_fn
+    from cl_object_detection_tpu.il.bic import bic_correct_from_meta
+
+    model = create_retinanet(ModelConfig(depth=18, compute_dtype="float32"), 4)
+    variables = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 3)))
+    rng = np.random.RandomState(2)
+    images = jnp.asarray(rng.randn(4, 64, 64, 3).astype(np.float32))
+    cfg = PredictConfig(pre_nms_topk=256, nms_impl="iterative",
+                        score_thresh=1e-4)
+    bc = bic_correct_from_meta(
+        {"bic": {"alphas": [0.7], "betas": [2.5]}}, [2, 2], 4)
+    assert bc.scale.shape == (4,) and bc.offset.shape == (4,)
+
+    ref = make_predict_fn(model, cfg, bic_correct=bc)(variables, images)
+    shared = make_predict_fn(model, cfg)
+    out = shared(variables, images, jnp.asarray(bc.scale),
+                 jnp.asarray(bc.offset))
+    plain = shared(variables, images)
+
+    np.testing.assert_allclose(np.asarray(ref.scores), np.asarray(out.scores),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(out.valid))
+    assert not np.allclose(np.asarray(plain.scores), np.asarray(out.scores))

@@ -81,7 +81,8 @@ def run(batch: int, iters: int, remat: bool, depth: int = 50,
     return batch * iters / best
 
 
-def run_split(batch: int, iters: int, remat: bool, depth: int = 50):
+def run_split(batch: int, iters: int, remat: bool, depth: int = 50,
+              height: int = 640, width: int = 1024):
     """Phase split of the train step: forward / +loss / +backward / full
     step (optimizer = full − backward), plus an MFU estimate.
 
@@ -104,7 +105,7 @@ def run_split(batch: int, iters: int, remat: bool, depth: int = 50):
     from cl_object_detection_tpu.models import create_retinanet
     from cl_object_detection_tpu.ops.anchors import anchors_for_shape
 
-    H, W, C, M = 640, 1024, 20, 32
+    H, W, C, M = height, width, 20, 32
     model = create_retinanet(ModelConfig(depth=depth, remat=remat), C)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
     anchors = jnp.asarray(anchors_for_shape(H, W))
@@ -160,7 +161,7 @@ def run_split(batch: int, iters: int, remat: bool, depth: int = 50):
     t_loss = timed(loss_of)
     t_grad = timed(grad_scalar)
     # full-step time from `run` (includes optimizer + accumulator traffic)
-    ips_full = run(batch, iters, remat, depth)
+    ips_full = run(batch, iters, remat, depth, height, width)
     t_full = batch / ips_full
 
     # --- MFU from XLA's compiled cost analysis of the grad computation
@@ -208,8 +209,10 @@ def main():
     args = p.parse_args()
     for b in args.batch:
         if args.split:
-            out = run_split(b, args.iters, args.remat, args.depth)
-            out["metric"] = (f"retinanet_r{args.depth}_640x1024_train_split"
+            out = run_split(b, args.iters, args.remat, args.depth,
+                            args.height, args.width)
+            out["metric"] = (f"retinanet_r{args.depth}_"
+                             f"{args.height}x{args.width}_train_split"
                              + ("_remat" if args.remat else ""))
             print(json.dumps(out), flush=True)
             continue
