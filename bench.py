@@ -20,6 +20,30 @@ import time
 import numpy as np
 
 
+def _wait_for_device(tries: int = 6, probe_timeout: int = 180) -> None:
+    """A killed device-waiting process wedges the axon TPU claim for
+    minutes (it self-recovers); a hung jnp call is NOT interruptible from
+    Python (blocked in native code), so probe from a SUBPROCESS with a
+    hard timeout and only proceed once a trivial matmul completes — the
+    one benched JSON line then survives a recently-interrupted run."""
+    import subprocess
+    import sys
+
+    probe = ("import jax.numpy as jnp; "
+             "x = jnp.ones((256, 256), jnp.bfloat16); "
+             "print(float((x @ x).sum()))")
+    for attempt in range(tries):
+        try:
+            subprocess.run([sys.executable, "-c", probe], timeout=probe_timeout,
+                           check=True, stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            print(f"# device probe failed (attempt {attempt + 1}/{tries}); "
+                  "waiting for the TPU claim to recover", flush=True)
+            time.sleep(60)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -97,4 +121,5 @@ def main():
 
 
 if __name__ == "__main__":
+    _wait_for_device()
     main()
