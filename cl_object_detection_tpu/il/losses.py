@@ -269,11 +269,10 @@ def compute_losses(
             result["dist_feat_loss"] = _cosine_feat_loss(feats, t_feats)
 
             s_old = logits[:, :, : s.num_past_class]       # old-class slice
+            t_prob = jax.nn.sigmoid(t_logits)
             if s.distill_logits:
-                t_prob = jax.nn.sigmoid(t_logits)
                 s_cmp, t_cmp = s_old, t_logits
             else:
-                t_prob = jax.nn.sigmoid(t_logits)
                 s_cmp, t_cmp = jax.nn.sigmoid(s_old), t_prob
             t_fg = t_prob > 0.05                            # (B, A, C_old)
 
@@ -283,7 +282,13 @@ def compute_losses(
                 jnp.where(reg_mask[..., None], reg_diff, 0.0)
             ) / jnp.maximum(jnp.sum(reg_mask.astype(jnp.float32)) * 4.0, 1.0)
 
-            cls_mask = reg_mask[..., None] & t_fg if s.ignore_gd else t_fg
+            # ignore_GD: MSE over ALL old-class entries at reg_mask anchors
+            # (reference losses.py:725-726 indexes [reg_mask], which keeps
+            # every C_old column); otherwise teacher-fg entries only (:728)
+            if s.ignore_gd:
+                cls_mask = jnp.broadcast_to(reg_mask[..., None], t_fg.shape)
+            else:
+                cls_mask = t_fg
             result["dist_cls_loss"] = _masked_mean((t_cmp - s_cmp) ** 2, cls_mask)
 
             if s.use_classifier_loss and classifier_vectors is not None:
@@ -297,7 +302,7 @@ def compute_losses(
                     new_vecs, past_vecs, il_cfg.classifier_loss_delta
                 )
 
-    if s.use_mas and mas_importance is not None:
+    if s.use_mas and mas_importance is not None and mas_prev_params is not None:
         result["mas_loss"] = mas_penalty(
             variables["params"], mas_prev_params, mas_importance, il_cfg.mas.ratio
         )

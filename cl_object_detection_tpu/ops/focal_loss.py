@@ -163,10 +163,14 @@ def focal_loss(
         fg_loss = jnp.sum(jnp.where(t == 1.0, cls_loss, 0.0)) / norm
         fg_loss = jnp.where(has_gt, fg_loss, 0.0)
 
-        # enhance_on_new (losses.py:380-385): bg-anchor new-class FPs
+        # enhance_on_new (losses.py:380-385): bg-anchor new-class FPs.
+        # Gated on has_gt like every other per-image term — the reference
+        # skips empty-GT images entirely (`continue`, losses.py:292-306),
+        # so an all-bg image must not contribute a spurious penalty.
         if incremental and enhance_on_new:
             pn = p[:, num_past_class:]
             e = jnp.sum(jnp.where(bg[:, None] & (pn > 0.05), pn * pn, 0.0))
+            e = jnp.where(has_gt, e, 0.0)
         else:
             e = jnp.zeros(())
 

@@ -89,7 +89,9 @@ def make_train_step(
 
     Returns fn(state, images, boxes, labels, *, teacher_variables=None,
     replay_grad=None, pseudo_progress=None, mas_prev_params=None,
-    mas_importance=None, bic_scale=None) -> (state, metrics).
+    mas_importance=None, ...) -> (state, metrics). BiC correction is NOT
+    a step argument (a Python closure is not a jittable input) —
+    il/bic.py jits its own bias-training loss around compute_losses.
     """
     apply_plain = lambda v, x, act: model.apply(v, x, enable_act=act)
     apply_feats = lambda v, x, act: model.apply(
@@ -117,7 +119,6 @@ def make_train_step(
         pseudo_progress=None,
         mas_prev_params=None,
         mas_importance=None,
-        bic_correct=None,
         trainable_mask=None,
         prototype_features=None,
         classifier_vectors=None,
@@ -147,7 +148,6 @@ def make_train_step(
                 teacher_apply_with_feats=t_apply_feats,
                 teacher_variables=teacher_variables,
                 pseudo_progress=pseudo_progress,
-                bic_correct=bic_correct,
                 mas_prev_params=mas_prev_params,
                 mas_importance=mas_importance,
                 prototype_extras=proto_extras,
@@ -210,5 +210,4 @@ def make_train_step(
         )
         return new_state, metrics
 
-    static_names = ()
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -145,3 +145,23 @@ def test_batch_vmap_consistency(rng):
     labels2 = np.concatenate([labels, labels])
     out = focal_loss(p2, reg2, anchors, boxes2, labels2)
     np.testing.assert_allclose(np.asarray(out.bg_loss[0]), np.asarray(out.bg_loss[1]))
+
+
+def test_enhance_on_new_skips_empty_gt_images(rng):
+    """The reference skips empty-GT images entirely (continue,
+    losses.py:292-306): an all-background image must not add a spurious
+    enhance_on_new penalty (r2 fix)."""
+    p, reg, anchors, boxes, labels = make_problem(rng)
+    p2 = np.stack([p[0], p[0]])
+    reg2 = np.stack([reg[0], reg[0]])
+    boxes2 = np.stack([boxes[0], np.full_like(boxes[0], -1.0)])
+    labels2 = np.stack([labels[0], np.full_like(labels[0], -1)])
+    kw = dict(incremental=True, num_past_class=3, enhance_on_new=True)
+    both = focal_loss(p2, reg2, anchors, boxes2, labels2, **kw)
+    solo = focal_loss(p, reg, anchors, boxes, labels, **kw)
+    np.testing.assert_allclose(
+        float(both.enhance_on_new_loss), float(solo.enhance_on_new_loss),
+        rtol=1e-6,
+    )
+    # sanity: the term itself is live on the GT-bearing image
+    assert float(solo.enhance_on_new_loss) > 0.0
