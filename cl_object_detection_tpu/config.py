@@ -266,6 +266,9 @@ class PredictConfig:
                                        # 3.3 / 3.7) | "pallas" | "scan"
     topk_method: str = "exact"         # pre-NMS candidate select: "exact"
                                        # (lax.top_k) | "approx"
+    bbox_std: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
+                                       # must match FocalConfig.bbox_std
+                                       # (encode/decode pair)
                                        # (lax.approx_max_k, ~6x faster over
                                        # 123k anchors, >=0.95 recall — tail
                                        # candidates only; see ops/nms.py)

@@ -162,6 +162,10 @@ class BatchLoader:
         else:
             img = normalize_image(img, cfg.mean, cfg.std)
         pboxes, plabels, n = pad_annotations(boxes, labels, cfg.max_boxes)
+        # pseudo rows are the annotation TAIL (dataset merges them after the
+        # real GT); truncation to max_boxes drops from the tail first, so
+        # clamp the reported pseudo suffix to what actually survived
+        num_pseudo = max(0, min(num_pseudo, n - (len(labels) - num_pseudo)))
         if cfg.s2d_stem:
             # per-sample so the transpose runs inside the decode workers
             # (threaded), not as a serial stall at batch assembly
@@ -244,22 +248,40 @@ class BatchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancel = threading.Event()   # abandoned-iterator shutdown: without
+                                     # it, a consumer that stops early (epoch
+                                     # exception, unconsumed replay iter)
+                                     # leaves the worker blocked on q.put
+                                     # forever, pinning decoded batches
+
+        def put(item) -> bool:
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for group in batches:
-                    q.put(self._assemble(group, epoch))
+                    if not put(self._assemble(group, epoch)):
+                        return
             except BaseException as e:  # surface errors on the consumer side
-                q.put(e)
+                put(e)
             finally:
-                q.put(stop)
+                put(stop)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            cancel.set()

@@ -222,7 +222,8 @@ class CocoProtocolEval:
     ) -> EvalResult:
         """Per-class sweep mirroring do_evaluation (evaluator.py:189-253)."""
         out = EvalResult()
-        for cid in cat_ids:
+        cats = list(cat_ids)   # materialize: a generator would be consumed
+        for cid in cats:
             name = self.gt.classes[cid]
             imgs = (
                 self.gt.get_imgs_by_cats(cid) if ignore_other_img else None
@@ -231,10 +232,11 @@ class CocoProtocolEval:
             out.ap50[name] = ap
             out.recall[name] = ar
         out.pred_num = len(results)
+        cat_set = set(cats)
         out.real_num = sum(
             1
             for i in self.image_ids
             for a in self.gt.get_anns_by_img(i)
-            if a["category_id"] in set(cat_ids)
+            if a["category_id"] in cat_set
         )
         return out

@@ -80,6 +80,8 @@ def make_predict_fn(
             nms_impl=nms_impl,
             scores_are_logits=True,
             topk_method=getattr(predict_cfg, "topk_method", "exact"),
+            bbox_std=tuple(getattr(predict_cfg, "bbox_std",
+                                   (0.1, 0.1, 0.2, 0.2))),
         )
 
     return predict

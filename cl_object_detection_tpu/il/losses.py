@@ -58,11 +58,26 @@ class LossStatics:
     use_mas: bool = False
     use_prototype: bool = False
     ignore_gd: bool = False
+    enhance_only: bool = False         # final-correction objective: backprop
+                                       # ONLY the enhance_error term
+                                       # (train.py:118-131)
 
 
 def _masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     cnt = jnp.sum(mask.astype(jnp.float32))
     return jnp.sum(jnp.where(mask, values, 0.0)) / jnp.maximum(cnt, 1.0)
+
+
+def _enhance_error(cls: jnp.ndarray, s: "LossStatics") -> jnp.ndarray:
+    """New-class score penalty on replay images (losses.py:591-603):
+    sum(|p|^k over entries > 0.05) / max(count, 1), k per L1/L2/L3."""
+    pn = cls[:, :, s.num_past_class:]
+    mask = pn > 0.05
+    k = {"L1": 1, "L2": 2, "L3": 3}[s.enhance_error_method.upper()]
+    vals = jnp.abs(pn) ** k
+    return jnp.sum(jnp.where(mask, vals, 0.0)) / jnp.maximum(
+        jnp.sum(mask.astype(jnp.float32)), 1.0
+    )
 
 
 def _clip_fg_mean(fg_per_image: jnp.ndarray, threshold: float) -> jnp.ndarray:
@@ -184,10 +199,21 @@ def compute_losses(
         else:
             cls, regression = model_apply(variables, images, True)
 
+        if s.enhance_only:
+            # final correction (reference correction_new_class,
+            # train.py:118-131): the enhance_error term is the WHOLE loss —
+            # no focal/reg/distill terms contribute gradients
+            result["enhance_loss"] = _enhance_error(cls, s)
+            total = result["enhance_loss"]
+            metrics = dict(result)
+            metrics["total_loss"] = total
+            return total, metrics
+
         out = focal_loss(
             cls, regression, anchors, gt_boxes, gt_labels,
             alpha=focal_cfg.alpha, gamma=focal_cfg.gamma,
             fg_iou=focal_cfg.fg_iou, bg_iou=focal_cfg.bg_iou,
+            bbox_std=tuple(focal_cfg.bbox_std),
         )
         if il_cfg.clip_loss and s.is_replay:
             result["cls_fg_loss"] = _clip_fg_mean(out.fg_loss, il_cfg.clip_replay_cls_loss)
@@ -197,14 +223,7 @@ def compute_losses(
         result["reg_loss"] = jnp.mean(out.reg_loss)
 
         if s.use_enhance_error and s.is_replay and not s.is_bic:
-            pn = cls[:, :, s.num_past_class:]
-            mask = pn > 0.05
-            k = {"L1": 1, "L2": 2, "L3": 3}[s.enhance_error_method.upper()]
-            vals = jnp.abs(pn) ** k
-            # sum(|p|^k over selected)/max(count,1) (losses.py:596-601)
-            result["enhance_loss"] = jnp.sum(jnp.where(mask, vals, 0.0)) / jnp.maximum(
-                jnp.sum(mask.astype(jnp.float32)), 1.0
-            )
+            result["enhance_loss"] = _enhance_error(cls, s)
     else:
         # -------------- incremental path (losses.py:605-737) ------------
         unfolded = None
@@ -233,6 +252,7 @@ def compute_losses(
             enhance_on_new=s.use_enhance_on_new,
             pseudo_progress=pseudo_progress if s.use_pseudo_progress else None,
             fg_iou=focal_cfg.fg_iou, bg_iou=focal_cfg.bg_iou,
+            bbox_std=tuple(focal_cfg.bbox_std),
         )
         if il_cfg.clip_loss:
             result["cls_fg_loss"] = _clip_fg_mean(out.fg_loss, il_cfg.clip_cls_loss)

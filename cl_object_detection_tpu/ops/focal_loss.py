@@ -66,6 +66,7 @@ def focal_loss(
     pseudo_progress: Optional[jnp.ndarray] = None,
     fg_iou: float = 0.5,
     bg_iou: float = 0.4,
+    bbox_std=(0.1, 0.1, 0.2, 0.2),
 ) -> FocalLossOutput:
     num_classes = cls_prob.shape[-1]
 
@@ -175,7 +176,7 @@ def focal_loss(
             e = jnp.zeros(())
 
         # regression on positives (losses.py:398-437)
-        reg_t = encode_boxes(anchors, assigned_box)
+        reg_t = encode_boxes(anchors, assigned_box, std=bbox_std)
         diff = jnp.abs(reg_t - reg)
         beta = 1.0 / 9.0
         sl1 = jnp.where(diff <= beta, 0.5 * 9.0 * diff * diff, diff - 0.5 * beta)

@@ -171,6 +171,7 @@ def detect_batch(
     scores_are_logits: bool = False,
     nms_impl: str | None = None,
     topk_method: str = "exact",
+    bbox_std=(0.1, 0.1, 0.2, 0.2),
 ) -> Detections:
     """Batch of :func:`detect_single`.
 
@@ -184,7 +185,7 @@ def detect_batch(
         score_thresh=score_thresh, iou_thresh=iou_thresh,
         pre_nms_topk=pre_nms_topk, max_detections=max_detections,
         nms_impl=impl, scores_are_logits=scores_are_logits,
-        topk_method=topk_method,
+        topk_method=topk_method, bbox_std=bbox_std,
     )
     if impl != "pallas":
         return jax.vmap(fn)(cls_prob, regression)

@@ -40,7 +40,6 @@ def train_process(trainer: ILTrainer, recorder: Optional[Recorder] = None,
     if recorder is None:
         recorder = Recorder(enabled=False)
 
-    rng = random.Random(cfg.seed)
 
     for cur_state in range(start_state, end_state + 1):
         if cur_state != start_state:
@@ -83,7 +82,14 @@ def train_process(trainer: ILTrainer, recorder: Optional[Recorder] = None,
             # mix_data schedule (train.py:199-222)
             replay_iter = None
             do_replay_ids: Dict[int, int] = {}
-            if replay_exist and do_mix:
+            # only build the replay iterator when it will actually be
+            # consumed (warm-'output' epochs skip replay) — an unconsumed
+            # iterator would leave its prefetch worker blocked forever.
+            # RNG keyed by (seed, state, epoch): a resumed run draws the
+            # SAME interleave schedule as the original (exact-resume
+            # contract; a run-lifetime RNG would have advanced differently)
+            if replay_exist and do_mix and not_warm_classifier:
+                rng = random.Random(f"{cfg.seed}:{cur_state}:{cur_epoch}")
                 num_replay_iter = len(trainer.replay_loader)
                 if num_replay_iter <= num_training_iter:
                     ids = rng.sample(range(num_training_iter), k=num_replay_iter)
@@ -106,10 +112,14 @@ def train_process(trainer: ILTrainer, recorder: Optional[Recorder] = None,
                 nonlocal pending
                 if pending is None:
                     return
-                it, t0, dev_metrics = pending
+                it, t0, dev_metrics, prefix = pending
                 metrics = {k: float(v) for k, v in dev_metrics.items()}
                 epoch_loss.append(metrics["total_loss"])
-                recorder.add_iter_loss(cur_state, metrics)
+                recorder.add_iter_loss(
+                    cur_state,
+                    {f"{prefix}{k}": v for k, v in metrics.items()}
+                    if prefix else metrics,
+                )
                 if it % log_every == 0:
                     keys = " | ".join(
                         f"{k}: {v:.4f}" for k, v in sorted(metrics.items())
@@ -129,7 +139,7 @@ def train_process(trainer: ILTrainer, recorder: Optional[Recorder] = None,
                 dev_metrics = trainer.run_batch(batch, is_replay=False,
                                                 sync_metrics=False)
                 flush_pending()
-                pending = (iter_num, t0, dev_metrics)
+                pending = (iter_num, t0, dev_metrics, "")
 
                 # interleaved replay (train.py:250-271)
                 if (replay_exist and not_warm_classifier and do_mix
@@ -141,23 +151,28 @@ def train_process(trainer: ILTrainer, recorder: Optional[Recorder] = None,
                             rbatch = next(replay_iter)
                         except StopIteration:
                             break
-                        m = trainer.run_batch(rbatch, is_replay=True)
-                        epoch_loss.append(m["total_loss"])
-                        recorder.add_iter_loss(
-                            cur_state, {f"replay_{k}": v for k, v in m.items()}
-                        )
+                        t0r = time.time()
+                        m = trainer.run_batch(rbatch, is_replay=True,
+                                              sync_metrics=False)
+                        flush_pending()
+                        pending = (iter_num, t0r, m, "replay_")
 
             flush_pending()
 
-            # tail replay pass (train.py:275-298)
-            if (replay_exist and not_warm_classifier and not do_mix):
+            # tail replay pass — reference gate (train.py:275): fires when
+            # mix_data is OFF or cur_epoch < mix_data_start; at exactly
+            # cur_epoch == mix_data_start NEITHER mix nor tail runs
+            if (replay_exist and not_warm_classifier
+                    and (not cfg.il.replay.mix_data
+                         or cur_epoch < cfg.il.replay.mix_data_start)):
                 trainer.set_replay_beta(True)
-                for rbatch in trainer.replay_loader:
-                    m = trainer.run_batch(rbatch, is_replay=True)
-                    epoch_loss.append(m["total_loss"])
-                    recorder.add_iter_loss(
-                        cur_state, {f"replay_{k}": v for k, v in m.items()}
-                    )
+                for it_r, rbatch in enumerate(trainer.replay_loader):
+                    t0r = time.time()
+                    m = trainer.run_batch(rbatch, is_replay=True,
+                                          sync_metrics=False)
+                    flush_pending()
+                    pending = (it_r, t0r, m, "replay_")
+                flush_pending()
                 trainer.set_replay_beta(False)
 
             # BiC bias training (train.py:300-302)
@@ -199,11 +214,14 @@ def train_process(trainer: ILTrainer, recorder: Optional[Recorder] = None,
 def _final_correction(trainer: ILTrainer, max_rounds: int = 20) -> None:
     """Re-run replay passes until the enhance_error term is clean
     (train.py:118-131, 323-331) — bounded, unlike the reference's
-    potentially-infinite while loop."""
+    potentially-infinite while loop. Each pass backprops ONLY the
+    enhance_error term (correction_new_class does
+    ``loss = losses['enhance_loss']``) with a plain per-batch optimizer
+    step — no focal/distill terms, no accumulation, no grad clip."""
     for _ in range(max_rounds):
         dirty = False
         for batch in trainer.replay_loader:
-            m = trainer.run_batch(batch, is_replay=True)
+            m = trainer.run_batch(batch, is_replay=True, correction=True)
             if m.get("enhance_loss", 0.0) > 0:
                 dirty = True
         if not dirty:

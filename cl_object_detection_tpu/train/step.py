@@ -175,6 +175,24 @@ def make_train_step(
             return jax.tree.map(jnp.add, params, updates), new_opt
 
         if ss.every_iter <= 1:
+            if loss_statics.enhance_only:
+                # final correction skips the optimizer entirely on a clean
+                # batch (correction_new_class: `if loss == 0: return True`)
+                # — Adam's carried moments would otherwise still move
+                # params on a zero gradient
+                def corr_apply(operand):
+                    opt_state, params = operand
+                    return transform_and_apply(grads, opt_state, params)[::-1]
+
+                new_opt, new_params = jax.lax.cond(
+                    total > 0,
+                    corr_apply,
+                    lambda op: (op[0], op[1]),
+                    (state.opt_state, state.params),
+                )
+                return state.replace(
+                    step=state.step + 1, params=new_params, opt_state=new_opt,
+                ), metrics
             # static fast path: no accumulator traffic, no cond
             new_params, new_opt = transform_and_apply(
                 grads, state.opt_state, state.params

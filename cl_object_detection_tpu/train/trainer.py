@@ -286,12 +286,14 @@ class ILTrainer:
     # ------------------------------------------------------------------
     # train-step variants
     # ------------------------------------------------------------------
-    def _loss_statics(self, is_replay: bool) -> LossStatics:
+    def _loss_statics(self, is_replay: bool,
+                      enhance_only: bool = False) -> LossStatics:
         cfg = self.cfg.il
         st = self.states[self.cur_state]
         warm_classifier = self._warm_kind == "output"
         incremental = self.cur_state > 0 and not is_replay and not warm_classifier
         return LossStatics(
+            enhance_only=enhance_only,
             num_classes=self.num_classes,
             num_past_class=st.num_past_class,
             incremental=incremental,
@@ -313,9 +315,20 @@ class ILTrainer:
             ignore_gd=cfg.ignore_gd,
         )
 
-    def _step_statics(self) -> StepStatics:
+    def _step_statics(self, correction: bool = False) -> StepStatics:
         warm_classifier = self._warm_kind == "output"
         st = self.states[self.cur_state]
+        if correction:
+            # reference correction_new_class (train.py:118-131): plain
+            # optimizer.step per batch — no accumulation, no grad clip
+            # (commented out upstream), no A-GEM
+            return StepStatics(
+                every_iter=1, use_clip=False, warm_classifier=False,
+                num_past_class=st.num_past_class,
+                num_knowing_class=st.num_knowing_class,
+                num_anchors=self.cfg.model.num_anchors,
+                use_agem=False,
+            )
         return StepStatics(
             every_iter=self.cfg.schedule.every_iter,
             use_clip=not warm_classifier and self.cfg.schedule.grad_clip > 0,
@@ -327,12 +340,12 @@ class ILTrainer:
             use_agem=self.cfg.il.agem.enabled,
         )
 
-    def _get_step(self, is_replay: bool, frame):
+    def _get_step(self, is_replay: bool, frame, correction: bool = False):
         """One compiled train step per (batch-kind, warm-stage, state,
         canonical frame, prototype-phase); ``frame`` is the logical (h, w)."""
-        statics = self._loss_statics(is_replay)
+        statics = self._loss_statics(is_replay, enhance_only=correction)
         key = (is_replay, self._warm_kind, self.cur_state, frame,
-               statics.use_prototype)
+               statics.use_prototype, correction)
         if key not in self._steps:
             anchors = self._anchors_at(*frame)
             self._steps[key] = make_train_step(
@@ -341,8 +354,8 @@ class ILTrainer:
                 anchors,
                 self.cfg.il,
                 self.cfg.focal,
-                self._loss_statics(is_replay),
-                self._step_statics(),
+                statics,
+                self._step_statics(correction),
                 # donate the TrainState buffers: the old state is dead the
                 # moment the step returns (nothing else aliases it)
                 donate=True,
@@ -379,12 +392,14 @@ class ILTrainer:
     # one training batch
     # ------------------------------------------------------------------
     def run_batch(self, batch, is_replay: bool = False,
-                  sync_metrics: bool = True) -> Dict[str, Any]:
+                  sync_metrics: bool = True,
+                  correction: bool = False) -> Dict[str, Any]:
         from ..data.transforms import logical_image_hw
 
-        step = self._get_step(is_replay, logical_image_hw(batch.images))
+        step = self._get_step(is_replay, logical_image_hw(batch.images),
+                              correction=correction)
         kwargs = {}
-        statics = self._loss_statics(is_replay)
+        statics = self._loss_statics(is_replay, enhance_only=correction)
         if statics.use_distill:
             kwargs["teacher_variables"] = self.teacher_variables
         if statics.use_pseudo_progress:
@@ -402,7 +417,8 @@ class ILTrainer:
             )
         if statics.use_classifier_loss and self._teacher_class_vectors is not None:
             kwargs["classifier_vectors"] = self._teacher_class_vectors
-        if self.cfg.il.agem.enabled and self.agem is not None and not is_replay:
+        if (self.cfg.il.agem.enabled and self.agem is not None
+                and not is_replay and not correction):
             if self.agem.replay_grad is None:
                 self.agem.compute_replay_grad(self.variables())
             kwargs["replay_grad"] = self.agem.replay_grad
