@@ -58,7 +58,13 @@ def _parse_shape_buckets(spec: str, frame_h: int, frame_w: int):
 
 
 def str2bool(v: str) -> bool:
-    return str(v).lower() in ("1", "true", "yes", "t")
+    t = str(v).lower()
+    if t in ("1", "true", "yes", "t", "y"):
+        return True
+    if t in ("0", "false", "no", "f", "n"):
+        return False
+    # a typo must not silently disable an experiment flag
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
 
 
 def add_train_flags(parser: argparse.ArgumentParser) -> None:
@@ -193,6 +199,13 @@ def maybe_force_cpu(a) -> None:
 
 
 def args_to_config(a: argparse.Namespace) -> TrainConfig:
+    # the FPN top-down adds require exact 2x upsample matches: every
+    # canonical frame dim must be a multiple of 32 (bucket frames are
+    # already validated in _parse_shape_buckets)
+    if a.image_height % 32 or a.image_width % 32:
+        raise SystemExit(
+            f"--image_height/--image_width must be multiples of 32, got "
+            f"{a.image_height}x{a.image_width}")
     warmup = WarmupConfig(
         warm_stage=a.warm_stage,
         warm_epoch=tuple(a.warm_epoch),
@@ -219,8 +232,13 @@ def args_to_config(a: argparse.Namespace) -> TrainConfig:
             height=a.image_height,
             width=a.image_width,
             # resize targets must fit the canonical frame, else GT clips out
-            min_side=a.min_side or max(a.image_height - 32, 32),
-            max_side=a.max_side or a.image_width,
+            min_side=a.min_side if a.min_side is not None
+            else max(a.image_height - 32, 32),
+            max_side=a.max_side if a.max_side is not None else a.image_width,
+            train_json=getattr(a, "train_json", None),
+            val_json=getattr(a, "test_json", None),
+            image_dir_train=getattr(a, "image_dir", None),
+            image_dir_val=getattr(a, "image_dir", None),
             shape_buckets=_parse_shape_buckets(
                 a.shape_buckets, a.image_height, a.image_width),
             s2d_stem=a.s2d_stem,

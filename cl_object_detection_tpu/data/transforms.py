@@ -89,7 +89,14 @@ def resize_and_pad(
     nh, nw = int(round(h * scale)), int(round(w * scale))
     ch, cw = frame if frame is not None else pick_canonical(
         nh, nw, height, width, buckets)
-    nh, nw = min(nh, ch), min(nw, cw)
+    if nh > ch or nw > cw:
+        # forced frame smaller than the scaled image (metadata/file
+        # disagreement, e.g. EXIF rotation): shrink UNIFORMLY so boxes and
+        # the returned scale stay consistent with the pixels — clamping
+        # one axis would squash the image while boxes kept the old scale
+        scale = min(scale, ch / h, cw / w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+    nh, nw = min(nh, ch), min(nw, cw)   # guard rounding
 
     if cv2 is not None:
         resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)

@@ -23,6 +23,20 @@ from .coco_eval import CocoProtocolEval, EvalResult
 from .predictor import detections_to_coco, make_predict_fn, make_sharded_predict_fn
 
 
+def _first_occurrence_slots(batch, seen):
+    """(keep_slots, batch_new_ids): one True slot per image — the static
+    loader wrap-fills short canonical-frame groups by REPEATING images
+    WITHIN a batch, so both cross-batch and in-batch repeats must emit
+    rows from exactly one slot (else duplicate COCO rows corrupt AP)."""
+    keep = []
+    batch_seen = set()
+    for i in batch.image_ids.tolist():
+        keep.append(i >= 0 and i not in seen and i not in batch_seen)
+        batch_seen.add(i)
+    batch_seen.discard(-1)
+    return keep, batch_seen
+
+
 class Evaluator:
     """Evaluate a model checkpoint on one IL state's test split."""
 
@@ -80,13 +94,12 @@ class Evaluator:
             it = tqdm.tqdm(it, total=len(self.loader))
         for batch in it:
             det = predict(variables, batch.images)
-            rows = detections_to_coco(
-                det, batch, self.label_to_cat, self.predict_cfg.score_thresh
-            )
-            fresh_ids = [i for i in batch.image_ids.tolist() if i not in seen]
-            fresh = set(fresh_ids)
-            results.extend(r for r in rows if r["image_id"] in fresh)
-            seen |= fresh
+            keep, batch_seen = _first_occurrence_slots(batch, seen)
+            results.extend(detections_to_coco(
+                det, batch, self.label_to_cat, self.predict_cfg.score_thresh,
+                keep_slots=keep,
+            ))
+            seen |= batch_seen
         return results
 
     def predict_dataset_multi(
@@ -145,16 +158,14 @@ class Evaluator:
 
             it = tqdm.tqdm(it, total=len(self.loader))
         for batch in it:
-            fresh_ids = [i for i in batch.image_ids.tolist() if i not in seen]
-            fresh = set(fresh_ids)
+            keep, batch_seen = _first_occurrence_slots(batch, seen)
             for key, variables in variables_by_key.items():
                 det = fns[key](variables, batch.images)
-                rows = detections_to_coco(
+                results[key].extend(detections_to_coco(
                     det, batch, self.label_to_cat,
-                    self.predict_cfg.score_thresh,
-                )
-                results[key].extend(r for r in rows if r["image_id"] in fresh)
-            seen |= fresh
+                    self.predict_cfg.score_thresh, keep_slots=keep,
+                ))
+            seen |= batch_seen
         return results
 
     def evaluate(self, results: List[dict], ignore_other_img: bool = False) -> EvalResult:

@@ -92,15 +92,21 @@ def detections_to_coco(
     batch: Batch,
     label_to_cat: Dict[int, int],
     score_thresh: float = 0.05,
+    keep_slots: Optional[Sequence[bool]] = None,
 ) -> List[dict]:
     """Device detections -> COCO result dicts (evaluator.py:336-366):
-    un-scale boxes to original pixels, xyxy -> xywh, drop pad slots."""
+    un-scale boxes to original pixels, xyxy -> xywh, drop pad slots.
+    ``keep_slots``: per-slot filter — the static loader wrap-fills short
+    groups by REPEATING images inside one batch, so callers must emit
+    each image's rows from exactly one slot."""
     boxes = np.asarray(det.boxes)
     scores = np.asarray(det.scores)
     labels = np.asarray(det.labels)
     valid = np.asarray(det.valid)
     out: List[dict] = []
     for b in range(boxes.shape[0]):
+        if keep_slots is not None and not keep_slots[b]:
+            continue
         img_id = int(batch.image_ids[b])
         if img_id < 0:
             continue

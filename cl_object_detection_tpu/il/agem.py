@@ -81,16 +81,9 @@ class AGem:
         acc = None
         n = max(len(self.replay_loader), 1)
         for batch in self.replay_loader:
-            if self.mesh is not None:
-                from ..parallel.mesh import global_batch_from_local
+            from ..parallel.mesh import put_step_batch
 
-                images, boxes, labels = (
-                    global_batch_from_local(self.mesh, a)
-                    for a in (batch.images, batch.boxes, batch.labels))
-            else:
-                images = jnp.asarray(batch.images)
-                boxes = jnp.asarray(batch.boxes)
-                labels = jnp.asarray(batch.labels)
+            images, boxes, labels = put_step_batch(self.mesh, batch)
             g = self._grad_step(
                 variables, jnp.asarray(self._anchors_provider(batch.images)),
                 images, boxes, labels,

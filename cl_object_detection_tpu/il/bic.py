@@ -166,16 +166,9 @@ class BicTrainer:
         total = 0.0
         n = 0
         for batch in self.bic_loader:
-            if self.mesh is not None:
-                from ..parallel.mesh import global_batch_from_local
+            from ..parallel.mesh import put_step_batch
 
-                images, boxes, labels = (
-                    global_batch_from_local(self.mesh, a)
-                    for a in (batch.images, batch.boxes, batch.labels))
-            else:
-                images = jnp.asarray(batch.images)
-                boxes = jnp.asarray(batch.boxes)
-                labels = jnp.asarray(batch.labels)
+            images, boxes, labels = put_step_batch(self.mesh, batch)
             tree, self.opt_state, metrics = self._train_step(
                 tree, self.opt_state, variables,
                 jnp.asarray(self._anchors_provider(batch.images)),
@@ -185,10 +178,6 @@ class BicTrainer:
             n += 1
         self.params.load(tree)
         return total / max(n, 1)
-
-    def next_state(self) -> None:
-        self.cur_state += 1
-
 
 def carve_bic_val_set(
     train_image_ids: List[int],

@@ -216,7 +216,12 @@ class ResNetBackbone(nn.Module):
                                # bit-exact but LOSES to XLA's fused
                                # reduce_window on the axon runtime (~30us
                                # fixed cost per grid program dominates a
-                               # bandwidth-bound kernel); kept as an option
+                               # bandwidth-bound kernel); kept for BENCH
+                               # use only (tools/bench_backbone, direct
+                               # ResNetBackbone construction) — deliberately
+                               # NOT exposed via ModelConfig/create_retinanet
+                               # because it measured strictly slower
+                               # (README "Measured stem dead ends")
     input_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     input_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 

@@ -121,6 +121,14 @@ class RetinaNet(nn.Module):
 def create_retinanet(cfg: ModelConfig, num_classes: int) -> RetinaNet:
     """Factory mirroring the reference ``create_retinanet(depth, n)``
     (model.py:617-637)."""
+    if tuple(cfg.pyramid_levels) != (3, 4, 5, 6, 7):
+        raise ValueError(
+            "pyramid_levels is fixed to P3-P7 (the FPN, heads and anchor "
+            "grids are built for 5 levels); got "
+            f"{cfg.pyramid_levels}")
+    if cfg.param_dtype != "float32":
+        raise ValueError("params are kept float32 (optimizer precision); "
+                         f"got param_dtype={cfg.param_dtype}")
     return RetinaNet(
         depth=cfg.depth,
         num_classes=num_classes,

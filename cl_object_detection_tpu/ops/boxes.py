@@ -54,12 +54,11 @@ def encode_boxes(
     GT width/height are clamped to >= 1 as in the reference.
     """
     acx, acy, aw, ah = _center_form(anchors)
+    # centers come from the original corners; only width/height are clamped
+    # (reference losses.py:407-410 — the clamp does not feed the centers)
     gcx, gcy, gw, gh = _center_form(gt)
     gw = jnp.clip(gw, 1.0)
     gh = jnp.clip(gh, 1.0)
-    # recompute centers exactly as the reference: from the ORIGINAL corners
-    gcx = gt[..., 0] + 0.5 * (gt[..., 2] - gt[..., 0])
-    gcy = gt[..., 1] + 0.5 * (gt[..., 3] - gt[..., 1])
     t = jnp.stack(
         [
             (gcx - acx) / aw,

@@ -167,6 +167,20 @@ def _put_like_params(mesh: Mesh, opt_state, params, model_axis: str):
     return rec(opt_state)
 
 
+def put_step_batch(mesh: Optional[Mesh], batch):
+    """Device-place one step's (images, boxes, labels): sharded over the
+    ``data`` axis via :func:`global_batch_from_local` when a mesh is given
+    (multi-host ready), plain device arrays otherwise. The single transfer
+    helper shared by the train step, BiC bias training, and A-GEM replay
+    gradients — keep them in lockstep."""
+    import jax.numpy as jnp
+
+    arrays = (batch.images, batch.boxes, batch.labels)
+    if mesh is None:
+        return tuple(jnp.asarray(a) for a in arrays)
+    return tuple(global_batch_from_local(mesh, a) for a in arrays)
+
+
 def tool_placers(mesh: Optional[Mesh]):
     """``(put_batch, put_replicated)`` for the IL tool passes.
 

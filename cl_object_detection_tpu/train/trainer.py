@@ -235,12 +235,9 @@ class ILTrainer:
         """Batch arrays to device: sharded over the mesh's data axis
         (multi-host ready via make_array_from_process_local_data) or plain
         single-device asarray."""
-        arrays = (batch.images, batch.boxes, batch.labels)
-        if self.mesh is None:
-            return tuple(jnp.asarray(a) for a in arrays)
-        from ..parallel.mesh import global_batch_from_local
+        from ..parallel.mesh import put_step_batch
 
-        return tuple(global_batch_from_local(self.mesh, a) for a in arrays)
+        return put_step_batch(self.mesh, batch)
 
     def _replicate(self, tree):
         """Pin a pytree on device (replicated over the mesh when present).
@@ -595,6 +592,7 @@ class ILTrainer:
             return
         if self.dataset_replay is None:
             raise ValueError("BiC requires replay (init_replay_dataset first)")
+        carry = self.bic.params if getattr(self, "bic", None) else None
         st = self.states[self.cur_state]
         bic_ids, seen_lists, train_ids, replay_ids = carve_bic_val_set(
             self.dataset_train.image_ids,
@@ -619,6 +617,10 @@ class ILTrainer:
             counts, self.cur_state, st.num_past_class, bic_loader,
             mesh=self.mesh,
         )
+        if carry is not None:
+            # earlier states' trained (alpha, beta) persist; only the new
+            # state's slot trains (the step's gradient mask)
+            self.bic.params = carry
 
     def _init_agem(self) -> None:
         if not self.cfg.il.agem.enabled:
@@ -636,11 +638,11 @@ class ILTrainer:
             statics, self.replay_loader, mesh=self.mesh,
         )
 
-    def _update_prev_model(self) -> None:
+    def _update_prev_model(self, force: bool = False) -> None:
         cfg = self.cfg.il
         if self.cur_state == 0:
             raise ValueError("initial state has no previous state")
-        if not cfg.distill.enabled and not cfg.mas.enabled:
+        if not force and not cfg.distill.enabled and not cfg.mas.enabled:
             return
         prev = self.cur_state - 1
         prev_classes = self.states[prev].num_knowing_class
@@ -696,7 +698,9 @@ class ILTrainer:
         if not cfg.pseudo.enabled:
             return
         if self.teacher_model is None:
-            self._update_prev_model()
+            # force: pseudo-labeling needs the frozen previous-state model
+            # even when distillation and MAS are both off
+            self._update_prev_model(force=True)
         pseudo = generate_pseudo_labels(
             self.teacher_model, self.teacher_variables, self.dataset_train,
             self.cfg.data, cfg.pseudo, self.states.inverse_label_map(),
@@ -713,32 +717,31 @@ class ILTrainer:
         prev_params = self.train_state.params
 
         # 1. MAS importance on the OLD state's data with the OLD model
-        self.cur_state += 1
         if cfg.mas.enabled:
-            self.cur_state -= 1
             self._update_mas_for_next()
-            self.cur_state += 1
+        self.cur_state += 1
 
         # 2. dataset moves to the new state's classes
         self.dataset_train.next_state()
 
-        # 3. prototyper for the new state
-        if cfg.replay.sample_num != 0:
-            self._init_prototyper()
+        # 3. prototyper for the new state (internally gated on
+        # prototype.loss / prototype_herd — NOT on replay: the prototype
+        # loss works without exemplars)
+        self._init_prototyper()
 
         # 4+5. classifier expansion + similarity warm-start + fresh optimizer
         self._expand_training_tools(prev_params)
 
-        # 6. replay / bic / agem re-init
+        # 6. replay / bic / agem re-init — REBUILT every state: BiC's
+        # jitted step bakes the trained slot index + logits width and the
+        # held-out carve, A-GEM bakes the replay loader + BN/classifier
+        # mask shapes; state-1 objects would crash (or silently train the
+        # wrong slot) at state >= 2. Learned BiC alpha/beta carry over.
         if self.dataset_replay is not None or cfg.replay.sample_num > 0:
             self._init_replay_dataset()
-            if self.cur_state == 1:
-                self._init_bic()
+            self._init_bic()
             self._update_replay_loader()
-            if self.cur_state == 1:
-                self._init_agem()
-            if self.bic is not None and self.cur_state > 1:
-                self.bic.next_state()
+            self._init_agem()
 
         self.train_loader = self._make_train_loader()
 
@@ -795,6 +798,9 @@ class ILTrainer:
         )
         self.ckpt.save_array_sidecar(self.cur_state, "mas_importance",
                                      self.mas_importance)
+        # pin on device like _update_mas does — it rides into every train
+        # step as a kwarg (host numpy would re-transfer per iteration)
+        self.mas_importance = self._replicate(self.mas_importance)
 
     # ------------------------------------------------------------------
     def save(self, epoch: int, epoch_loss: Optional[List[float]] = None) -> None:

@@ -49,6 +49,7 @@ class CheckpointManager:
         self.keep_every = keep_every
         self._pending: Optional[threading.Thread] = None
         self._pending_error: Optional[BaseException] = None
+        self._barrier_seq = 0
         os.makedirs(self.scenario_dir, exist_ok=True)
 
     # ------------------------------------------------------------------
@@ -81,12 +82,28 @@ class CheckpointManager:
         return eps[-1] if eps else None
 
     # ------------------------------------------------------------------
+    def _barrier(self, tag: str) -> None:
+        """Cross-host sync around primary-only writes: every host calls
+        save()/wait() at the same program points, so a barrier here keeps
+        non-primary readers (teacher restore, sidecar loads) from racing
+        process 0's in-flight write on a shared filesystem."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(
+                f"ckpt_{tag}_{self._barrier_seq}")
+            self._barrier_seq += 1
+
     def wait(self) -> None:
         """Block until any in-flight async save has finished (and re-raise
-        its error, if it failed)."""
+        its error, if it failed). Multi-host: also a cross-process barrier
+        — every host calls wait() at the same program points (epochs/
+        restore/save all route through it), so after it returns process
+        0's async write is visible to every reader."""
         if self._pending is not None:
             self._pending.join()
             self._pending = None
+        self._barrier("wait")
         if self._pending_error is not None:
             err, self._pending_error = self._pending_error, None
             raise err
@@ -113,6 +130,8 @@ class CheckpointManager:
         self.wait()
         path = self.epoch_dir(state, epoch)
         if not _is_primary():
+            if not async_save:
+                self._barrier("ckpt_save")   # pair with the primary's
             return path
         tree = {
             "params": train_state.params,
@@ -121,12 +140,17 @@ class CheckpointManager:
             "step": train_state.step,
         }
         if not async_save:
+            stage = path + ".tmp_sync"
+            if os.path.exists(stage):
+                shutil.rmtree(stage)
+            ocp.PyTreeCheckpointer().save(stage, jax.tree.map(np.asarray, tree))
+            if il_meta is not None:
+                with open(os.path.join(stage, "il_meta.json"), "w") as f:
+                    json.dump(il_meta, f, indent=2, default=_jsonable)
             if os.path.exists(path):
                 shutil.rmtree(path)
-            ocp.PyTreeCheckpointer().save(path, jax.tree.map(np.asarray, tree))
-            if il_meta is not None:
-                with open(os.path.join(path, "il_meta.json"), "w") as f:
-                    json.dump(il_meta, f, indent=2, default=_jsonable)
+            os.rename(stage, path)
+            self._barrier("ckpt_save")
             return path
 
         import jax.numpy as jnp
@@ -138,13 +162,17 @@ class CheckpointManager:
 
         def work():
             try:
-                for p in (tmp, path):
-                    if os.path.exists(p):
-                        shutil.rmtree(p)
+                if os.path.exists(tmp):
+                    shutil.rmtree(tmp)
                 ocp.PyTreeCheckpointer().save(tmp, jax.tree.map(np.asarray, snap))
                 if il_meta is not None:
                     with open(os.path.join(tmp, "il_meta.json"), "w") as f:
                         json.dump(il_meta, f, indent=2, default=_jsonable)
+                # delete the existing epoch only once the replacement is
+                # complete — a crash during the ~60s write must not lose
+                # BOTH copies
+                if os.path.exists(path):
+                    shutil.rmtree(path)
                 os.rename(tmp, path)
             except BaseException as e:  # surfaced by the next wait()
                 self._pending_error = e
