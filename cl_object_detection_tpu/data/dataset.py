@@ -85,6 +85,11 @@ class ILDataset:
             self.seen_class_ids = list(self.states[self.cur_state].knowing_ids)
         else:
             self.seen_class_ids = list(self.states[self.cur_state].new_ids)
+        # the reference builds a FRESH dataset per state: the previous
+        # state's pseudo-labels must not leak into the new state's GT
+        # (similarity pass, BiC carve, and pseudo generation all read the
+        # dataset between the switch and _add_pseudo_labels)
+        self.pseudo_labels = {}
         self.update_image_ids()
 
     def __len__(self) -> int:

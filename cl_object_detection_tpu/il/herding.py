@@ -104,34 +104,48 @@ class HerdSampler:
             for img_id in ids:
                 img_classes[img_id].append(cls)
 
-        # 2-3. batched features -> class means -> distances
+        # 2-3. batched features -> class means -> distances, in TWO
+        # STREAMING passes: one ~24 MB vector per image (23239 cells x 256
+        # ch) means caching the whole dataset would be O(images) host RAM
+        # (~95 GB at VOC scale); streaming keeps O(classes) like the
+        # reference's running-mean pickles (herd_sample.py:27-37). With a
+        # (single-process) mesh the image batch shards over 'data' — FPN
+        # feature extraction is per-image, so DP herding needs no
+        # collectives.
         loader = BatchLoader(dataset, data_cfg, shuffle=False, augment=False)
-        feats_by_img: Dict[int, np.ndarray] = {}
-        for batch in loader:
-            # with a (single-process) mesh the image batch shards over
-            # 'data' — FPN feature extraction is per-image, so DP herding
-            # needs no collectives
+
+        sums: Dict[int, np.ndarray] = {}
+        counts: Dict[int, int] = defaultdict(int)
+        done = set()
+        for batch in loader:                       # pass 1: class means
             f = np.asarray(self._feature_fn(variables, put(batch.images)))
             for b, img_id in enumerate(batch.image_ids.tolist()):
-                if img_id in img_classes and img_id not in feats_by_img:
-                    feats_by_img[img_id] = f[b]
-
-        means: Dict[int, np.ndarray] = {}
-        for cls, ids in classified.items():
-            vecs = [feats_by_img[i] for i in ids if i in feats_by_img]
-            if vecs:
-                means[cls] = np.mean(vecs, axis=0)
+                if img_id in done or img_id not in img_classes:
+                    continue
+                done.add(img_id)
+                for cls in img_classes[img_id]:
+                    if cls in sums:
+                        sums[cls] += f[b]
+                    else:
+                        sums[cls] = f[b].astype(np.float32).copy()
+                    counts[cls] += 1
+        means = {c: sums[c] / counts[c] for c in sums}
 
         scores: Dict[int, Dict[int, float]] = {c: {} for c in classified}
-        for cls, ids in classified.items():
-            if cls not in means:
-                continue
-            for img_id in ids:
-                if img_id in future or img_id not in feats_by_img:
+        done = set()
+        for batch in loader:                       # pass 2: distances
+            f = np.asarray(self._feature_fn(variables, put(batch.images)))
+            for b, img_id in enumerate(batch.image_ids.tolist()):
+                if img_id in done or img_id not in img_classes:
                     continue
-                scores[cls][img_id] = float(
-                    np.linalg.norm(means[cls] - feats_by_img[img_id])
-                )
+                done.add(img_id)
+                if img_id in future:
+                    continue
+                for cls in img_classes[img_id]:
+                    if cls in means:
+                        scores[cls][img_id] = float(
+                            np.linalg.norm(means[cls] - f[b])
+                        )
 
         # 4. pick closest per class without reuse (herd_sample.py:157-172)
         new_dict: Dict[int, List[int]] = defaultdict(list)

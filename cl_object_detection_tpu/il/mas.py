@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.boxes import pairwise_iou
+from ..ops.boxes import positive_assignment
 
 
 def _excluded(path) -> bool:
@@ -51,10 +51,7 @@ def make_importance_step(model):
         B, _, C = cls.shape
 
         def per_image(reg_i, boxes_i, labels_i):
-            valid = labels_i >= 0
-            iou = pairwise_iou(anchors, boxes_i)
-            iou = jnp.where(valid[None, :], iou, -1.0)
-            pos = jnp.max(iou, axis=1) >= 0.5
+            pos, _ = positive_assignment(anchors, boxes_i, labels_i)
             n = jnp.sum(pos.astype(jnp.float32))
             mean_abs = jnp.sum(jnp.where(pos[:, None], jnp.abs(reg_i), 0.0)) / jnp.maximum(
                 n * 4.0, 1.0

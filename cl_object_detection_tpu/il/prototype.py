@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.boxes import pairwise_iou
+from ..ops.boxes import positive_assignment
 
 
 def make_batch_prototype_fn(model, num_classes: int, num_anchors: int = 9):
@@ -46,11 +46,7 @@ def make_batch_prototype_fn(model, num_classes: int, num_anchors: int = 9):
         B, cells, D = unfolded.shape
 
         def per_image(feat, boxes_i, labels_i):
-            valid = labels_i >= 0
-            iou = pairwise_iou(anchors, boxes_i)
-            iou = jnp.where(valid[None, :], iou, -1.0)
-            pos = jnp.max(iou, axis=1) >= 0.5                  # (A,)
-            a_label = jnp.take(labels_i, jnp.argmax(iou, axis=1))
+            pos, a_label = positive_assignment(anchors, boxes_i, labels_i)
             pos_cs = pos.reshape(cells, num_anchors)           # (cells, 9)
             lab_cs = a_label.reshape(cells, num_anchors)
             onehot = jax.nn.one_hot(
@@ -139,11 +135,7 @@ def make_image_feature_fn(model, num_classes: int, num_anchors: int = 9):
         B, cells, D = unfolded.shape
 
         def per_image(feat, boxes_i, labels_i):
-            valid = labels_i >= 0
-            iou = pairwise_iou(anchors, boxes_i)
-            iou = jnp.where(valid[None, :], iou, -1.0)
-            pos = jnp.max(iou, axis=1) >= 0.5
-            a_label = jnp.take(labels_i, jnp.argmax(iou, axis=1))
+            pos, a_label = positive_assignment(anchors, boxes_i, labels_i)
             pos_cs = pos.reshape(cells, num_anchors)
             lab_cs = a_label.reshape(cells, num_anchors)
             onehot = jax.nn.one_hot(

@@ -75,8 +75,10 @@ def generate_pseudo_labels(
                 continue
             seen.add(img_id)
             scale = float(batch.scales[b])
-            # new-class GT boxes in RESIZED pixels
-            n = int(batch.num_boxes[b])
+            # new-class GT boxes in RESIZED pixels — REAL rows only: any
+            # pseudo rows ride as the annotation tail and must not
+            # suppress fresh teacher detections of old-class objects
+            n = int(batch.num_boxes[b]) - int(batch.num_pseudo[b])
             gt = batch.boxes[b, :n]
             anns: List[dict] = []
             keep = np.where(valid[b] & (scores[b] > cfg.score_thresh))[0]

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.boxes import pairwise_iou
+from ..ops.boxes import positive_assignment
 
 
 def make_similarity_step(model, num_new: int, num_old: int,
@@ -34,12 +34,7 @@ def make_similarity_step(model, num_new: int, num_old: int,
         cls = jnp.clip(cls.astype(jnp.float32), 1e-4, 1 - 1e-4)
 
         def per_image(p, boxes_i, labels_i):
-            valid = labels_i >= 0
-            iou = pairwise_iou(anchors, boxes_i)
-            iou = jnp.where(valid[None, :], iou, -1.0)
-            iou_max = jnp.max(iou, axis=1)
-            iou_arg = jnp.argmax(iou, axis=1)
-            pos = iou_max >= 0.5
+            pos, assigned = positive_assignment(anchors, boxes_i, labels_i)
             old_sum = jnp.sum(p, axis=1)            # model has only old classes
             sel = pos & (old_sum >= threshold)
 
@@ -47,7 +42,7 @@ def make_similarity_step(model, num_new: int, num_old: int,
             dist = p / jnp.maximum(old_sum[:, None], 1e-8)
             # labels here are FINAL-state contiguous; new classes occupy
             # [num_old, num_old+num_new)
-            a_label = jnp.take(labels_i, iou_arg) - num_old
+            a_label = assigned - num_old
             onehot = jax.nn.one_hot(
                 jnp.clip(a_label, 0, num_new - 1), num_new, dtype=jnp.float32
             )

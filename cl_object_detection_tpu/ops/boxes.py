@@ -96,3 +96,20 @@ def clip_boxes(boxes: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     x2 = jnp.clip(boxes[..., 2], None, width)
     y2 = jnp.clip(boxes[..., 3], None, height)
     return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def positive_assignment(anchors, boxes_i, labels_i, fg_iou: float = 0.5):
+    """One image's positive-anchor assignment over -1-padded GT:
+    ``(pos_mask (A,), assigned_label (A,))`` with invalid GT masked to
+    IoU -1 and ties broken by argmax (lowest GT index). The shared
+    matching core of the IL tool passes (MAS output norm, similarity
+    accumulation, prototype features) — the focal loss keeps its own
+    gather-free variant for the fused hot path (ops/focal_loss.py)."""
+    import jax.numpy as jnp
+
+    valid = labels_i >= 0
+    iou = pairwise_iou(anchors, boxes_i)
+    iou = jnp.where(valid[None, :], iou, -1.0)
+    pos = jnp.max(iou, axis=1) >= fg_iou
+    assigned = jnp.take(labels_i, jnp.argmax(iou, axis=1))
+    return pos, assigned

@@ -58,13 +58,18 @@ def make_optimizer(cfg: ScheduleConfig, params, use_clip: bool = True):
     """Returns the gradient transformation. ``cfg.every_iter`` deliberately
     does NOT wrap optax.MultiSteps — the train step owns accumulation (see
     module docstring); wrapping here would accumulate twice."""
-    def adam_group():
+    def adam_group(lr):
         return optax.inject_hyperparams(optax.adam)(
-            learning_rate=cfg.lr, b1=cfg.beta1, b2=cfg.beta2
+            learning_rate=lr, b1=cfg.beta1, b2=cfg.beta2
         )
 
+    # classifier_lr_scale: our extension knob (the reference keeps one lr
+    # for both groups, main.py:57-59); the 'output' group's lr is scaled
+    # here AND by set_learning_rate so MultiStepLR decay preserves it
     groups = optax.multi_transform(
-        {"backbone": adam_group(), "output": adam_group()}, param_labels(params)
+        {"backbone": adam_group(cfg.lr),
+         "output": adam_group(cfg.lr * cfg.classifier_lr_scale)},
+        param_labels(params),
     )
     parts = []
     if use_clip and cfg.grad_clip > 0:
@@ -117,11 +122,13 @@ def _map_hyperparams(opt_state, fn):
     return rec(opt_state, None)
 
 
-def set_learning_rate(opt_state, lr: float):
-    """MultiStepLR step: set lr on both groups."""
+def set_learning_rate(opt_state, lr: float, classifier_scale: float = 1.0):
+    """MultiStepLR step: set lr on both groups ('output' keeps its
+    classifier_lr_scale multiple)."""
     def fn(group, hp):
         if "learning_rate" in hp:
-            hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            scale = classifier_scale if group == "output" else 1.0
+            hp["learning_rate"] = jnp.asarray(lr * scale, jnp.float32)
         return hp
 
     return _map_hyperparams(opt_state, fn)

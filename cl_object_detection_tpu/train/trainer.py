@@ -456,7 +456,10 @@ class ILTrainer:
     def step_scheduler(self, epoch: int) -> None:
         lr = lr_at_epoch(self.cfg.schedule, epoch + 1)
         self.train_state = self.train_state.replace(
-            opt_state=set_learning_rate(self.train_state.opt_state, lr)
+            opt_state=set_learning_rate(
+                self.train_state.opt_state, lr,
+                self.cfg.schedule.classifier_lr_scale,
+            )
         )
 
     # ------------------------------------------------------------------
@@ -524,9 +527,19 @@ class ILTrainer:
                 c: {i: s for i, s in d.items() if i not in future}
                 for c, d in scores.items()
             }
-            picked = sample_by_scores(scores, cfg.sample_num)
-            ids = [i for lst in picked.values() for i in lst]
-            self.dataset_replay.reset_explicit(cfg.sample_num, ids, self.cur_state)
+            # exemplars ACCUMULATE across states like the herding path
+            # (reference keeps every past state's sample files,
+            # il_trainer.py:173-225): the newest scores only cover the
+            # previous state's NEW classes, so earlier states' picks must
+            # persist or the oldest classes silently lose replay coverage
+            if not hasattr(self, "_proto_exemplars"):
+                self._proto_exemplars: List[int] = []
+            picked = sample_by_scores(scores, cfg.sample_num,
+                                      already=self._proto_exemplars)
+            self._proto_exemplars.extend(
+                i for lst in picked.values() for i in lst)
+            self.dataset_replay.reset_explicit(
+                cfg.sample_num, list(self._proto_exemplars), self.cur_state)
         else:  # random
             self.dataset_replay.reset_by_state(self.cur_state)
 
@@ -768,7 +781,13 @@ class ILTrainer:
             if cached is not None:
                 similarity = np.asarray(list(cached.values())[0])
             else:
-                loader = self._make_train_loader(sharded=False)
+                # the reference explicitly disables the Augmenter for the
+                # similarity pass (weight_init.py:30-31): deterministic,
+                # unflipped images
+                loader = BatchLoader(
+                    self.dataset_train, self.cfg.data, shuffle=False,
+                    augment=False,
+                )
                 similarity = compute_similarity(
                     self.model, self.variables(), self.anchors_for, loader,
                     num_new=st.num_new_class,
