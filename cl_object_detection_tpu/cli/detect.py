@@ -17,9 +17,10 @@ import os
 from typing import List, Optional
 
 
-def load_class_list(path: Optional[str], coco_json: Optional[str]) -> List[str]:
-    """CSV 'name,id' per line (visualize_single_image.py:21-33) or the
-    category order of a COCO json."""
+def load_class_list(path: Optional[str], coco_json: Optional[str]):
+    """Category table from a CSV 'name,id' per line
+    (visualize_single_image.py:21-33) or a COCO json. Returns
+    ({cat_id: name}, {name: cat_id})."""
     if path:
         names = {}
         with open(path) as f:
@@ -29,12 +30,12 @@ def load_class_list(path: Optional[str], coco_json: Optional[str]) -> List[str]:
                     continue
                 name, idx = line.split(",")[:2]
                 names[int(idx)] = name
-        return [names[i] for i in sorted(names)]
+        return names, {v: k for k, v in names.items()}
     if coco_json:
         from ..data.coco import CocoJson
 
         c = CocoJson(coco_json)
-        return [c.classes[i] for i in sorted(c.classes)]
+        return dict(c.classes), dict(c.classes_inverse)
     raise ValueError("need --class_list or --train_json")
 
 
@@ -65,10 +66,11 @@ def main(argv=None):
                              "len(class list))")
     a = parser.parse_args(argv)
 
-    import jax
+    import jax  # noqa: F401  (imported before any device touch)
 
-    if a.cpu:
-        jax.config.update("jax_platforms", "cpu")
+    from .common import maybe_force_cpu
+
+    maybe_force_cpu(a)
 
     import cv2
     import jax.numpy as jnp
@@ -80,12 +82,28 @@ def main(argv=None):
     from ..models import create_retinanet
     from ..utils.checkpoint import CheckpointManager
 
-    class_names = load_class_list(a.class_list, a.train_json)
+    classes, classes_inverse = load_class_list(a.class_list, a.train_json)
+    # model labels are FINAL-state CONTIGUOUS ids in the ILStates knowing
+    # order — NOT category-id order (e.g. scenario '15 1' forces 'train'
+    # into slot 15, states.py / reference params.py:53-55); map through
+    # the same label map the evaluator uses
+    from ..states import ILStates
+
+    states = ILStates(
+        [classes[i] for i in sorted(classes)], classes_inverse,
+        list(a.scenario),
+    )
+    label_to_cat = states.inverse_label_map()
+
+    def name_of(label: int) -> str:
+        cat = label_to_cat.get(int(label))
+        return classes.get(cat, str(label))
+
     bic_correct = None
     if a.torch_ckpt:
         from ..models.convert import load_reference_checkpoint
 
-        num_classes = a.num_classes or len(class_names)
+        num_classes = a.num_classes or len(classes)
         model = create_retinanet(ModelConfig(depth=a.depth), num_classes)
         init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
         variables = load_reference_checkpoint(init, a.torch_ckpt)
@@ -95,7 +113,7 @@ def main(argv=None):
         ckpt = CheckpointManager(
             os.path.join(a.root_dir, "checkpoint"), a.scenario)
         tree, il_meta = ckpt.restore(a.state, a.epoch)
-        num_classes = il_meta["num_classes"] if il_meta else len(class_names)
+        num_classes = il_meta["num_classes"] if il_meta else len(classes)
         model = create_retinanet(ModelConfig(depth=a.depth), num_classes)
         variables = {
             "params": jax.tree.map(jnp.asarray, tree["params"]),
@@ -139,7 +157,7 @@ def main(argv=None):
 
         for i in np.where(keep)[0]:
             x1, y1, x2, y2 = boxes[i].astype(int)
-            name = class_names[labels[i]] if labels[i] < len(class_names) else str(labels[i])
+            name = name_of(labels[i])
             caption = f"{name} {scores[i]:.2f}"
             cv2.rectangle(bgr, (x1, y1), (x2, y2), (0, 0, 255), 2)
             cv2.putText(bgr, caption, (x1, max(y1 - 5, 12)),

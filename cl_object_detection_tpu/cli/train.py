@@ -100,11 +100,16 @@ def main(argv=None):
     if cfg.val_after_train:
         from .validate import run_validation
 
+        # mirror train_process's clamp: end_state < start_state trains
+        # only start_state, so that's the state to validate
         end_state = cfg.il.end_state if cfg.il.end_state is not None else cfg.il.start_state
-        run_validation(
-            a, state=end_state,
-            epochs=[trainer.ckpt.latest_epoch(end_state)],
-        )
+        end_state = max(end_state, cfg.il.start_state)
+        last = trainer.ckpt.latest_epoch(end_state)
+        if last is None:
+            print(f"warning: no checkpoint for state {end_state}; "
+                  "skipping chained validation")
+        else:
+            run_validation(a, state=end_state, epochs=[last])
 
 
 if __name__ == "__main__":

@@ -110,7 +110,8 @@ def run_validation(a, state: Optional[int] = None, epochs: Optional[List[int]] =
                              f"not divisible by the data axis ({ndata})")
     suffix = "_bic" if use_bic else ""
 
-    def json_path(epoch, with_bic=None):
+    def result_json_path(epoch, with_bic=None):
+        # NB: distinct name — ``json_path`` above is the DATASET json
         sfx = suffix if with_bic is None else ("_bic" if with_bic else "")
         return os.path.join(
             result_dir, f"{a.dataset}_results_epoch{epoch}{sfx}.json")
@@ -119,22 +120,40 @@ def run_validation(a, state: Optional[int] = None, epochs: Optional[List[int]] =
     rows_by_epoch = {}
     to_predict = {}
     bic_by_epoch = {}
+    torch_vars = None
     for epoch in epochs:
+        if getattr(a, "torch_ckpt", None):
+            # no Orbax tree is needed (or may exist): label the results
+            # with the requested epoch (0 for the -1 default) and load the
+            # reference checkpoint ONCE for the whole epoch list
+            epoch = 0 if epoch == -1 else epoch
+            if torch_vars is None:
+                import jax
+
+                from ..models.convert import load_reference_checkpoint
+
+                init = model.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+                torch_vars = load_reference_checkpoint(init, a.torch_ckpt)
+                if use_bic:
+                    print("warning: --bic ignored for --torch_ckpt (no meta)")
+            to_predict[epoch] = torch_vars
+            continue
         if epoch == -1:
             epoch = ckpt.latest_epoch(state)
-        if getattr(a, "just_val", False) and os.path.exists(json_path(epoch)):
-            with open(json_path(epoch)) as f:
+            if epoch is None:
+                raise SystemExit(
+                    f"no checkpoints for state {state} under "
+                    f"{ckpt.state_dir(state)}")
+        if getattr(a, "just_val", False):
+            # re-score-only contract (reference validation.py:80-85):
+            # a missing cached json is an error, not a silent re-predict
+            if not os.path.exists(result_json_path(epoch)):
+                raise SystemExit(
+                    f"--just_val: no cached results at "
+                    f"{result_json_path(epoch)}")
+            with open(result_json_path(epoch)) as f:
                 rows_by_epoch[epoch] = json.load(f)
-        elif getattr(a, "torch_ckpt", None):
-            import jax
-
-            from ..models.convert import load_reference_checkpoint
-
-            init = model.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
-            to_predict[epoch] = load_reference_checkpoint(init, a.torch_ckpt)
-            if use_bic:
-                print("warning: --bic ignored for --torch_ckpt (no meta)")
         else:
             tree, il_meta = ckpt.restore(state, epoch)
             to_predict[epoch] = {
@@ -165,7 +184,8 @@ def run_validation(a, state: Optional[int] = None, epochs: Optional[List[int]] =
             bic_correct_by_key=bic_by_epoch,
         )
         for epoch, rows in predicted.items():
-            with open(json_path(epoch, use_bic and epoch in bic_by_epoch),
+            with open(result_json_path(epoch,
+                                       use_bic and epoch in bic_by_epoch),
                       "w") as f:
                 json.dump(rows, f)
             rows_by_epoch[epoch] = rows

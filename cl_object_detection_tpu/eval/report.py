@@ -20,9 +20,12 @@ from .coco_eval import EvalResult
 
 def save_upper_bound(path: str, result: EvalResult) -> None:
     """Store a joint-training run's per-class AP/recall as the upper bound."""
+    # -1.0 is coco_eval's no-GT-in-split sentinel; persisting it would
+    # later read as a real (negative) upper bound and corrupt declines
     data = {
         name: {"ap": result.ap50[name], "recall": result.recall[name]}
         for name in result.ap50
+        if result.ap50[name] >= 0.0
     }
     data["mean"] = {"ap": result.mean_ap50, "recall": result.mean_recall}
     data["pred_ratio"] = (
@@ -64,8 +67,11 @@ def decline_csv(
             ap = results[e].ap50.get(name, -1.0)
             rc = results[e].recall.get(name, -1.0)
             d_ap, d_rc = ub_ap - ap, ub_rc - rc
-            ap_declines[e].append(d_ap)
-            rc_declines[e].append(d_rc)
+            # -1 sentinel = class absent from the split: keep it visible
+            # in the AP column but exclude it from the decline sums (one
+            # absent old class would otherwise inflate Sum_decline >100%)
+            ap_declines[e].append(d_ap if ap >= 0.0 else 0.0)
+            rc_declines[e].append(d_rc if rc >= 0.0 else 0.0)
             row += f",{ap},{rc},{d_ap * 100:.1f}%,{d_rc * 100:.1f}%"
         lines.append(row)
 

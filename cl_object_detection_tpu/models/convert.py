@@ -112,7 +112,6 @@ def load_pretrained_backbone(variables: Dict, path: str) -> Dict:
         except KeyError:
             skipped += 1
             continue
-        node = out[collection].setdefault("backbone", {})
         ok = True
         trail = [out[collection]["backbone"]]
         for p in path_parts[:-1]:

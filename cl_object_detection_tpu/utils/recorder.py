@@ -81,12 +81,17 @@ class Recorder:
         self._epoch_acc.clear()
 
     def add_hparams(self, hparams: Dict, metrics: Dict[str, float]) -> None:
+        clean = {
+            k: (v if isinstance(v, (int, float, str, bool)) else str(v))
+            for k, v in hparams.items()
+        }
         if self._writer:
-            clean = {
-                k: (v if isinstance(v, (int, float, str, bool)) else str(v))
-                for k, v in hparams.items()
-            }
             self._writer.add_hparams(clean, metrics)
+        elif self.enabled:
+            # TSV fallback (no tensorboard import): keep the summary
+            for k, v in {**clean, **metrics}.items():
+                self._tsv.write(f"hparams\t{k}\t{v}\n")
+            self._tsv.flush()
 
     def close(self) -> None:
         if self._writer:
