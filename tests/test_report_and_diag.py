@@ -71,3 +71,27 @@ def test_text_to_args():
     assert text_to_args("--scenario 15 1 \n --distill true") == [
         "--scenario", "15", "1", "--distill", "true",
     ]
+
+
+def test_decline_excludes_no_gt_sentinel(tmp_path):
+    """-1.0 (class absent from the split) stays visible in the AP column
+    but must not inflate Sum_decline (+100%/class) nor persist into the
+    upper bound (r2 fix)."""
+    ub_path = str(tmp_path / "ub.json")
+    ub_res = make_result(0.8)
+    ub_res.ap50["b"] = -1.0          # absent at upper-bound time
+    save_upper_bound(ub_path, ub_res)
+    ub = load_upper_bound(ub_path)
+    assert "b" not in ub             # sentinel not persisted
+
+    res = make_result(0.6)
+    res.ap50["a"] = -1.0             # old class absent at eval time
+    res.recall["a"] = -1.0
+    text = decline_csv({10: res}, ["a", "b"], num_old_classes=2,
+                       upper_bound=ub)
+    sum_line = [l for l in text.splitlines()
+                if l.startswith("Sum_decline")][0]
+    # only class b contributes: ub has no entry for it (absent), so its
+    # ub_ap is 0.0 -> decline = 0.0 - 0.3 = -30%; class a's sentinel
+    # (0.8 - (-1.0) = +180%) must NOT appear
+    assert "180.0%" not in sum_line
