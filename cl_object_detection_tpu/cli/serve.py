@@ -36,6 +36,9 @@ def main(argv=None):
     parser.add_argument("--max_batch", type=int, default=8)
     parser.add_argument("--batch_window_ms", type=float, default=5.0)
     parser.add_argument("--score_thresh", type=float, default=0.3)
+    parser.add_argument("--request_ttl", type=float, default=60.0,
+                        help="seconds before a queued request expires "
+                             "(handler 503s and the device thread skips it)")
     parser.add_argument("--quantize", action="store_true",
                         help="int8 dynamic-PTQ convs (ops/quant.py)")
     parser.add_argument("--cpu", action="store_true")
@@ -73,31 +76,49 @@ def main(argv=None):
             break
         except (OSError, ValueError):
             continue
-    depth = a.depth if a.depth is not None else run_cfg.get("model", {}).get("depth", 50)
-    model = create_retinanet(ModelConfig(depth=depth), num_classes)
+    # reconstruct the FULL architecture from the run's config — depth
+    # alone is not enough for non-default fpn_channels/head_layers/etc.
+    run_model = dict(run_cfg.get("model", {}))
+    if a.depth is not None:
+        run_model["depth"] = a.depth
+    mc_fields = {f.name for f in __import__("dataclasses").fields(ModelConfig)}
+    mcfg = ModelConfig(**{k: (tuple(v) if isinstance(v, list) else v)
+                          for k, v in run_model.items() if k in mc_fields})
+    depth = mcfg.depth
+    model = create_retinanet(mcfg, num_classes)
     variables = {
         "params": jax.tree.map(jnp.asarray, tree["params"]),
         "batch_stats": jax.tree.map(jnp.asarray, tree["batch_stats"]),
     }
+    # the jitted path must keep every candidate the server might emit
     predict = make_predict_fn(
-        model, PredictConfig(score_thresh=0.05, quantize=a.quantize))
+        model, PredictConfig(score_thresh=min(0.05, a.score_thresh),
+                             quantize=a.quantize))
     run_data = run_cfg.get("data", {})
     dcfg = DataConfig(
         height=run_data.get("height", DataConfig.height),
         width=run_data.get("width", DataConfig.width),
     )
+    s2d = bool(run_data.get("s2d_stem", False))
 
     def letterbox(img):
         """Fit ANY orientation into the single landscape serving frame:
         scale = min(H/h, W/w), then zero-pad (unlike training's two
-        orientation buckets, a server wants exactly one compiled shape)."""
+        orientation buckets, a server wants exactly one compiled shape).
+        Runs in the HANDLER threads so decode+resize parallelize across
+        requests instead of serializing in the device thread."""
         h, w = img.shape[:2]
         scale = min(dcfg.height / h, dcfg.width / w)
         nh, nw = int(h * scale), int(w * scale)
         resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
         out = np.zeros((dcfg.height, dcfg.width, 3), np.float32)
         out[:nh, :nw] = resized
-        return normalize_image(out), scale
+        out = normalize_image(out)
+        if s2d:
+            from ..data.transforms import space_to_depth
+
+            out = space_to_depth(out[None])[0]
+        return out, scale
 
     # fixed-size batcher: requests queue up; the device thread pads to
     # max_batch so ONE compiled shape serves every request
@@ -106,7 +127,9 @@ def main(argv=None):
     # warm up (and validate model-vs-checkpoint compatibility) BEFORE
     # accepting traffic: a depth/frame mismatch must kill the process at
     # startup, not the background device thread after the socket is open
-    dummy = np.zeros((a.max_batch, dcfg.height, dcfg.width, 3), np.float32)
+    frame_shape = ((dcfg.height // 2, dcfg.width // 2, 12) if s2d
+                   else (dcfg.height, dcfg.width, 3))
+    dummy = np.zeros((a.max_batch,) + frame_shape, np.float32)
     predict(variables, jnp.asarray(dummy))
     print(f"serving on :{a.port} (batch {a.max_batch}, depth {depth}, "
           f"frame {dcfg.height}x{dcfg.width})")
@@ -124,18 +147,32 @@ def main(argv=None):
                     batch.append(work.get(timeout=timeout))
                 except queue.Empty:
                     break
+            # drop requests whose client already timed out (their handler
+            # returned 503 after done.wait); without this, a burst backlog
+            # keeps burning device batches on abandoned work
+            now = time.time()
+            live = []
+            for item in batch:
+                if now - item[3] > a.request_ttl:
+                    item[2].setdefault("error", "expired in queue")
+                    item[1].set()
+                else:
+                    live.append(item)
+            batch = live
+            if not batch:
+                continue
             try:
                 images = np.zeros(
-                    (a.max_batch, dcfg.height, dcfg.width, 3), np.float32)
+                    (a.max_batch,) + frame_shape, np.float32)
                 scales = np.ones(a.max_batch, np.float32)
-                for i, (img, _done, _out) in enumerate(batch):
-                    images[i], scales[i] = letterbox(img)
+                for i, (img, _done, _out, _t) in enumerate(batch):
+                    images[i], scales[i] = img
                 det = predict(variables, jnp.asarray(images))
                 boxes = np.asarray(det.boxes)
                 scores = np.asarray(det.scores)
                 labels = np.asarray(det.labels)
                 valid = np.asarray(det.valid)
-                for i, (_img, done, out) in enumerate(batch):
+                for i, (_img, done, out, _t) in enumerate(batch):
                     keep = valid[i] & (scores[i] > a.score_thresh)
                     out["detections"] = [
                         {
@@ -147,7 +184,7 @@ def main(argv=None):
                     ]
                     done.set()
             except Exception as e:  # keep serving; fail the affected requests
-                for _img, done, out in batch:
+                for _img, done, out, _t in batch:
                     if done.is_set():
                         continue  # already answered successfully this batch
                     out.setdefault("error", f"{type(e).__name__}: {e}")
@@ -185,8 +222,8 @@ def main(argv=None):
             rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255
             done = threading.Event()
             out: dict = {}
-            work.put((rgb, done, out))
-            if not done.wait(timeout=60):
+            work.put((letterbox(rgb), done, out, time.time()))
+            if not done.wait(timeout=a.request_ttl):
                 self.send_response(503)
                 self.end_headers()
                 self.wfile.write(b'{"error": "inference timeout"}')

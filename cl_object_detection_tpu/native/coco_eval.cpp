@@ -30,7 +30,6 @@ constexpr int kNumRecall = 101;
 struct Det {
   float score;
   float box[4];  // xywh
-  int order;     // stable tie-break
 };
 
 double iou_xywh(const float* a, const float* b) {
@@ -67,7 +66,6 @@ int coco_eval_class(const int* det_img, const float* det_score,
     Det d;
     d.score = det_score[i];
     std::memcpy(d.box, det_box + 4 * i, sizeof(d.box));
-    d.order = (int)dets[im].size();
     dets[im].push_back(d);
   }
   std::vector<std::vector<const float*>> gts(n_imgs);
@@ -81,7 +79,10 @@ int coco_eval_class(const int* det_img, const float* det_score,
   std::vector<std::vector<uint8_t>> matches(kNumThresh);
 
   std::vector<double> thresh(kNumThresh);
-  for (int t = 0; t < kNumThresh; ++t) thresh[t] = 0.5 + 0.05 * t;
+  // (50 + 5t)/100.0 reproduces numpy's arange(0.5, 1.0, 0.05).round(2)
+  // bit-for-bit (0.5 + 0.05*t differs by 1 ulp at t=7 -> an IoU of
+  // exactly 0.85 would match in Python but not here)
+  for (int t = 0; t < kNumThresh; ++t) thresh[t] = (50 + 5 * t) / 100.0;
 
   for (int im = 0; im < n_imgs; ++im) {
     auto& dv = dets[im];
@@ -151,7 +152,9 @@ int coco_eval_class(const int* det_img, const float* det_score,
     for (int64_t i = total - 2; i >= 0; --i) pr[i] = std::max(pr[i], pr[i + 1]);
     double ap = 0.0;
     for (int r = 0; r < kNumRecall; ++r) {
-      const double want = r / 100.0;
+      // r * 0.01 == numpy linspace(0, 1, 101)[r] bit-for-bit (r/100.0
+      // differs at 10 of the 101 points)
+      const double want = r * 0.01;
       // searchsorted left
       int64_t lo = 0, hi = total;
       while (lo < hi) {

@@ -133,7 +133,7 @@ def _nms_kernel(iou_thresh: float, boxes_ref, scores_ref, keep_ref, supp_ref):
 
 @functools.partial(jax.jit, static_argnames=("iou_thresh", "interpret"))
 def nms_pallas(
-    boxes: jnp.ndarray,     # (k, 4) sorted by descending score, k % 128 == 0
+    boxes: jnp.ndarray,     # (k, 4) sorted by descending score, k % 256 == 0
     scores: jnp.ndarray,    # (k,)
     iou_thresh: float = 0.5,
     interpret: bool = False,

@@ -35,10 +35,12 @@ def plot_classifier_diagnostics(
     num_anchors: int = 9,
 ):
     """Weight-norm bar chart + old-vs-new ranked-mean curves
-    (visualize_classifier.py:42-164). Returns the matplotlib figure."""
-    import matplotlib
-
-    matplotlib.use("Agg")
+    (visualize_classifier.py:42-164). Returns the matplotlib figure
+    (closed when ``out_path`` is given — looping callers would otherwise
+    leak figures). The process-global backend is left untouched; set
+    MPLBACKEND=Agg for headless runs."""
+    # no matplotlib.use("Agg"): headless environments auto-select Agg and
+    # force-switching the global backend breaks interactive sessions
     import matplotlib.pyplot as plt
 
     norms = classifier_weight_norms(params, num_anchors)
@@ -61,4 +63,5 @@ def plot_classifier_diagnostics(
     fig.tight_layout()
     if out_path:
         fig.savefig(out_path, dpi=100)
+        plt.close(fig)
     return fig

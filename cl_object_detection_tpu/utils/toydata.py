@@ -55,7 +55,9 @@ def make_toy_dataset(
             # near-invisible boxes; keep the per-class shade distinct below
             color[cls % 3] = min(255, 200 + 10 * (cls // 3))
             if cls // 3 >= 6:  # distinguish clamped classes via 2nd channel
-                color[(cls + 1) % 3] = min(255, 60 + 20 * (cls // 3))
+                # cycle in [60, 250] so classes beyond ~30 stay distinct
+                # instead of all clamping to 255
+                color[(cls + 1) % 3] = 60 + (20 * (cls // 3)) % 191
             img[y : y + bh, x : x + bw] = color
             annotations.append(
                 {

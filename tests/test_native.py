@@ -82,3 +82,22 @@ def test_nms_parity(rng):
     ref = np.asarray(nms_padded(jnp.asarray(boxes), jnp.asarray(scores), 0.5))
     got = greedy_nms_native(boxes, scores, 0.5)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_threshold_boundary_parity():
+    """Integer-coordinate boxes landing EXACTLY on an IoU threshold
+    (17/20 == 0.85) and a recall grid point: the C++ grids must match
+    numpy's arange(...).round(2) / linspace bit-for-bit (r2 fix — the
+    naive 0.5 + 0.05*t / r/100.0 grids differ by 1 ulp)."""
+    # GT box area 20 (xywh 0,0,10,2); det covers 17 of its 20 cells and
+    # nothing else -> IoU exactly 17/20 = 0.85 in float
+    det_img = np.array([0], np.int32)
+    det_score = np.array([0.9], np.float32)
+    det_box = np.array([[0.0, 0.0, 8.5, 2.0]], np.float32)  # area 17, inside
+    gt_img = np.array([0], np.int32)
+    gt_box = np.array([[0.0, 0.0, 10.0, 2.0]], np.float32)
+    prob = (det_img, det_score, det_box, gt_img, gt_box, 1)
+    assert 17.0 / 20.0 == np.arange(0.5, 1.0, 0.05).round(2)[7]
+    native = coco_eval_class_native(*prob)
+    oracle = python_eval(*prob)
+    np.testing.assert_allclose(native, oracle, atol=0)
