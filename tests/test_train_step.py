@@ -230,3 +230,25 @@ def test_final_correction_step_semantics(setup):
                             jax.tree.leaves(state3.params))
         )
         assert changed
+
+
+def test_classifier_lr_scale_wiring(setup):
+    """classifier_lr_scale actually reaches the 'output' Adam group and
+    survives MultiStepLR decay (r2 fix: the knob was a silent no-op)."""
+    model, _, anchors, _ = setup
+    import jax
+
+    variables = model.init(jax.random.PRNGKey(3), jnp.zeros((1, H, W, 3)))
+    sched = ScheduleConfig(lr=1e-4, every_iter=1, classifier_lr_scale=10.0)
+    tx = make_optimizer(sched, variables["params"], use_clip=False)
+    state = TrainState.create(
+        params=variables["params"], batch_stats=variables["batch_stats"], tx=tx
+    )
+    hp = get_hyperparams(state.opt_state)
+    assert hp["output"]["learning_rate"] == pytest.approx(1e-3)
+    assert hp["backbone"]["learning_rate"] == pytest.approx(1e-4)
+    # decay preserves the scale
+    new_opt = set_learning_rate(state.opt_state, 1e-5, 10.0)
+    hp = get_hyperparams(new_opt)
+    assert hp["output"]["learning_rate"] == pytest.approx(1e-4)
+    assert hp["backbone"]["learning_rate"] == pytest.approx(1e-5)
