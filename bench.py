@@ -51,7 +51,6 @@ def main():
     from cl_object_detection_tpu.config import ModelConfig, PredictConfig
     from cl_object_detection_tpu.models import create_retinanet
     from cl_object_detection_tpu.ops.anchors import anchors_for_shape
-    from cl_object_detection_tpu.ops.nms import detect_batch
 
     H, W = 608, 832           # the VOC-shaped canonical frame: a typical
                               # 500x375 image resizes to 608x811 (min-side
@@ -71,41 +70,20 @@ def main():
     # recall of exact over the anchor axis, tail candidates only; measured
     # mAP-NEUTRAL end-to-end: +0.004 mAP50, identical AR vs exact on the
     # trained toy eval — see ops/nms.py and README)
+    from cl_object_detection_tpu.utils.benchlib import (
+        make_predict_sum,
+        time_chained,
+    )
+
     pcfg = PredictConfig(topk_method="approx")
     model = create_retinanet(ModelConfig(depth=50), num_classes=20)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
     anchors = jnp.asarray(anchors_for_shape(H, W))
-
-    def predict_sum(images):
-        logits, regression = model.apply(variables, images, enable_act=False)
-        det = detect_batch(
-            logits, regression, anchors, height=H, width=W,
-            score_thresh=pcfg.score_thresh, iou_thresh=pcfg.nms_iou,
-            pre_nms_topk=pcfg.pre_nms_topk,
-            max_detections=pcfg.max_detections, nms_impl=pcfg.nms_impl,
-            scores_are_logits=True, topk_method=pcfg.topk_method,
-        )
-        return jnp.sum(det.scores)
-
-    @jax.jit
-    def chained(images):
-        def body(i, acc):
-            # data dependency defeats reordering/caching; the perturbation
-            # is numerically negligible
-            return acc + predict_sum(images + acc * 1e-12)
-
-        return jax.lax.fori_loop(0, ITERS, body, 0.0)
+    predict_sum = make_predict_sum(model, variables, anchors, pcfg, H, W)
 
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(BATCH, H, W, 3).astype(np.float32))
-
-    float(chained(images))  # compile + warm
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        float(chained(images))
-    dt = (time.perf_counter() - t0) / reps
-
+    dt = time_chained(predict_sum, images, iters=ITERS, reps=3)
     imgs_per_sec = BATCH * ITERS / dt
     baseline = 2000.0 / 8.0   # BASELINE.json: 2000 img/s on v5e-8 -> per chip
     print(

@@ -1,29 +1,35 @@
 """Profile the inference split: backbone+heads forward vs detect post-process.
 
-Experiment tool for finding where the per-image milliseconds go at the
-headline bench shape (640x1024, batch 16). Same chained-fori_loop timing
-discipline as bench.py (axon tunnel returns early from block_until_ready).
+Experiment tool for finding where the per-image milliseconds go. Defaults
+match the HEADLINE bench configuration (608x832, batch 32, approx top-k —
+bench.py); override with --height/--width/--batch/--topk to profile other
+operating points. Same chained-fori_loop timing discipline as bench.py
+(axon tunnel returns early from block_until_ready).
 
-Usage: python tools/bench_split.py [--batch N] [mode ...]
+Usage: python tools/bench_split.py [--batch N] [--height H] [--width W]
+                                   [--topk exact|approx] [mode ...]
 modes: fwd, det, full, bb (backbone only), feats (backbone+FPN)
 (heads cost = fwd - feats; FPN cost = feats - bb)
 """
-import json, sys, time
+import json, sys
 
 import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def run(mode, batch=16, iters=20):
+def run(mode, batch=32, iters=20, H=608, W=832, topk="approx"):
     import jax, jax.numpy as jnp
     from cl_object_detection_tpu.config import ModelConfig, PredictConfig
     from cl_object_detection_tpu.models import create_retinanet
     from cl_object_detection_tpu.ops.anchors import anchors_for_shape
     from cl_object_detection_tpu.ops.nms import detect_batch
+    from cl_object_detection_tpu.utils.benchlib import (
+        make_predict_sum,
+        time_chained,
+    )
 
-    H, W = 640, 1024
-    pcfg = PredictConfig()
+    pcfg = PredictConfig(topk_method=topk)
     model = create_retinanet(ModelConfig(depth=50), num_classes=20)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
     anchors = jnp.asarray(anchors_for_shape(H, W))
@@ -36,7 +42,7 @@ def run(mode, batch=16, iters=20):
         feats = model.apply(variables, images, method="forward_features")
         return sum(jnp.sum(f[..., 0].astype(jnp.float32)) for f in feats) * 1e-6
 
-    if mode == "bb":
+    def make_bb_sum():
         from cl_object_detection_tpu.models.resnet import ResNetBackbone
 
         bb = ResNetBackbone(depth=50, dtype=jnp.bfloat16)
@@ -47,68 +53,53 @@ def run(mode, batch=16, iters=20):
             return (jnp.sum(c5[..., 0].astype(jnp.float32)) * 1e-6
                     + jnp.sum(c3[..., 0].astype(jnp.float32)) * 1e-9)
 
-    def full_sum(images):
-        logits, regression = model.apply(variables, images, enable_act=False)
-        det = detect_batch(
-            logits, regression, anchors, height=H, width=W,
-            score_thresh=pcfg.score_thresh, iou_thresh=pcfg.nms_iou,
-            pre_nms_topk=pcfg.pre_nms_topk,
-            max_detections=pcfg.max_detections, nms_impl=pcfg.nms_impl,
-            scores_are_logits=True,
-        )
-        return jnp.sum(det.scores)
+        return bb_sum
 
     rng = np.random.RandomState(0)
     if mode in ("fwd", "full", "feats", "bb"):
-        step = {"fwd": fwd_sum, "full": full_sum, "feats": feats_sum,
-                "bb": locals().get("bb_sum")}[mode]
+        step = {
+            "fwd": fwd_sum,
+            "full": make_predict_sum(model, variables, anchors, pcfg, H, W),
+            "feats": feats_sum,
+            "bb": make_bb_sum() if mode == "bb" else None,
+        }[mode]
         x0 = jnp.asarray(rng.randn(batch, H, W, 3).astype(np.float32))
-
-        @jax.jit
-        def chained(images):
-            def body(i, acc):
-                return acc + step(images + acc * 1e-12)
-            return jax.lax.fori_loop(0, iters, body, 0.0)
-
+        dt = time_chained(step, x0, iters=iters, reps=3)
     elif mode == "det":
         A = anchors.shape[0]
         logits = jnp.asarray(rng.randn(batch, A, 20).astype(np.float32) - 4)
         regs = jnp.asarray(rng.randn(batch, A, 4).astype(np.float32) * 0.1)
-        x0 = logits
 
-        @jax.jit
-        def chained(logits):
-            def body(i, acc):
-                det = detect_batch(
-                    logits + acc * 1e-12, regs, anchors, height=H, width=W,
-                    score_thresh=pcfg.score_thresh, iou_thresh=pcfg.nms_iou,
-                    pre_nms_topk=pcfg.pre_nms_topk,
-                    max_detections=pcfg.max_detections,
-                    nms_impl=pcfg.nms_impl, scores_are_logits=True,
-                )
-                return acc + jnp.sum(det.scores)
-            return jax.lax.fori_loop(0, iters, body, 0.0)
+        def det_sum(l):
+            det = detect_batch(
+                l, regs, anchors, height=H, width=W,
+                score_thresh=pcfg.score_thresh, iou_thresh=pcfg.nms_iou,
+                pre_nms_topk=pcfg.pre_nms_topk,
+                max_detections=pcfg.max_detections,
+                nms_impl=pcfg.nms_impl, scores_are_logits=True,
+                topk_method=topk,
+            )
+            return jnp.sum(det.scores)
+
+        dt = time_chained(det_sum, logits, iters=iters, reps=3)
     else:
         raise SystemExit(f"unknown mode {mode}")
 
-    float(chained(x0))
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        float(chained(x0))
-    dt = (time.perf_counter() - t0) / reps
     return {
         "mode": mode,
         "batch": batch,
+        "frame": f"{H}x{W}",
+        "topk": topk,
         "ms_per_batch": round(dt / iters * 1e3, 3),
         "img_per_s": round(batch * iters / dt, 2),
     }
 
 
 argv = sys.argv[1:]
-batch = 16
-if argv and argv[0] == "--batch":
-    batch = int(argv[1])
-    argv = argv[2:]
+kw = {}
+while argv and argv[0].startswith("--"):
+    flag, val, argv = argv[0], argv[1], argv[2:]
+    kw[{"--batch": "batch", "--height": "H", "--width": "W",
+        "--topk": "topk"}[flag]] = int(val) if flag != "--topk" else val
 for m in argv or ["fwd", "det", "full"]:
-    print(json.dumps(run(m, batch=batch)), flush=True)
+    print(json.dumps(run(m, **kw)), flush=True)

@@ -174,14 +174,17 @@ def run_split(batch: int, iters: int, remat: bool, depth: int = 50,
         flops = float(ca.get("flops", 0.0)) or None
     except Exception:
         pass
-    if flops is None:
-        # analytic fallback: fwd conv flops for R50+FPN+heads @640x1024
-        # (2*MACs): backbone ~54G (4.1G@224^2 x 13.06 area scale) + head
-        # trunks 2*4 convs 256->256 over ~13.6k pyramid positions ~129G +
-        # outputs ~14G + FPN ~5G  => ~200 GFLOP/img; backward ~ 2x forward
-        flops = 3.0 * 200e9 * batch
+    flops_source = "xla_cost_analysis"
+    if flops is None and depth == 50:
+        # analytic fallback (R50 ONLY — other depths get no MFU rather
+        # than a wrong one): fwd conv flops for R50+FPN+heads are ~200
+        # GFLOP/img at 640x1024 (2*MACs: backbone ~54G + head trunks
+        # ~129G + outputs ~14G + FPN ~5G) and scale ~linearly with the
+        # frame area; backward ~ 2x forward
+        flops = 3.0 * 200e9 * (height * width) / (640 * 1024) * batch
+        flops_source = "analytic_r50_area_scaled"
     peak = 197e12  # v5e bf16
-    mfu = flops / t_full / peak
+    mfu = flops / t_full / peak if flops else None
 
     return {
         "batch": batch,
@@ -192,7 +195,8 @@ def run_split(batch: int, iters: int, remat: bool, depth: int = 50,
         "full_step_ms": round(t_full * 1e3, 2),
         "images_per_sec": round(ips_full, 2),
         "step_flops": flops,
-        "mfu_vs_v5e_bf16_peak": round(mfu, 4),
+        "flops_source": flops_source if flops else "unavailable",
+        "mfu_vs_v5e_bf16_peak": round(mfu, 4) if mfu else None,
     }
 
 

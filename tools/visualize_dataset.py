@@ -66,7 +66,16 @@ def main():
             "params": jax.tree.map(jnp.asarray, tree["params"]),
             "batch_stats": jax.tree.map(jnp.asarray, tree["batch_stats"]),
         }
-        predict = make_predict_fn(model, PredictConfig())
+        # apply the checkpoint's BiC correction like cli.detect/validate,
+        # so the drawn detections match what eval reports
+        bic_correct = None
+        if il_meta and "bic" in il_meta:
+            from cl_object_detection_tpu.il.bic import bic_correct_from_meta
+
+            counts = [int(x) if str(x).isdigit() else 1 for x in a.scenario]
+            bic_correct = bic_correct_from_meta(il_meta, counts, num_classes)
+        predict = make_predict_fn(model, PredictConfig(),
+                                  bic_correct=bic_correct)
 
     img_ids = sorted(coco.imgs)[: a.num]
     for img_id in img_ids:
@@ -75,6 +84,10 @@ def main():
         bgr = cv2.imread(path)
         if bgr is None:
             continue
+        # predict on the PRISTINE image — drawing GT first would feed the
+        # green overlays into the network and change its detections
+        rgb_clean = (cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32)
+                     / 255 if predict is not None else None)
         for ann in coco.get_anns_by_img(img_id):
             x, y, w, h = [int(v) for v in ann["bbox"]]
             cv2.rectangle(bgr, (x, y), (x + w, y + h), (0, 255, 0), 2)
@@ -90,10 +103,9 @@ def main():
             )
 
             dcfg = DataConfig()
-            rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255
             img, _, scale = resize_and_pad(
-                rgb, np.zeros((0, 4), np.float32), dcfg.min_side, dcfg.max_side,
-                dcfg.height, dcfg.width,
+                rgb_clean, np.zeros((0, 4), np.float32), dcfg.min_side,
+                dcfg.max_side, dcfg.height, dcfg.width,
             )
             det = predict(variables, jnp.asarray(normalize_image(img)[None]))
             boxes = np.asarray(det.boxes[0]) / scale
@@ -103,7 +115,9 @@ def main():
                 x1, y1, x2, y2 = boxes[i].astype(int)
                 cv2.rectangle(bgr, (x1, y1), (x2, y2), (0, 0, 255), 2)
         out = os.path.join(a.out_dir, info["file_name"])
-        cv2.imwrite(out, bgr)
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        if not cv2.imwrite(out, bgr):
+            raise SystemExit(f"failed to write {out}")
         print(out)
 
 

@@ -96,8 +96,11 @@ def main():
         src_dir = os.path.abspath(os.path.join(a.voc_root, "JPEGImages"))
         for name in names:
             dst = os.path.join(img_dir, name + ".jpg")
-            if not os.path.exists(dst):
-                os.symlink(os.path.join(src_dir, name + ".jpg"), dst)
+            # lexists: a DANGLING symlink (moved devkit) must be replaced,
+            # not crash os.symlink with FileExistsError
+            if os.path.lexists(dst):
+                os.unlink(dst)
+            os.symlink(os.path.join(src_dir, name + ".jpg"), dst)
         print(f"linked images into {img_dir}")
 
 
