@@ -45,7 +45,17 @@ def _wait_for_device(tries: int = 6, probe_timeout: int = 180) -> None:
 
 
 def main():
+    import os
+
     import jax
+
+    # BENCH_SMOKE=1: tiny-config CPU pass of the EXACT same code path —
+    # verifies the harness end-to-end where no TPU is reachable (the
+    # printed number is then meaningless and labeled _smoke)
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from cl_object_detection_tpu.config import ModelConfig, PredictConfig
@@ -75,8 +85,15 @@ def main():
         time_chained,
     )
 
-    pcfg = PredictConfig(topk_method="approx")
-    model = create_retinanet(ModelConfig(depth=50), num_classes=20)
+    depth = 50
+    if smoke:
+        H, W, BATCH, ITERS, depth = 64, 64, 2, 2, 18
+    pcfg = PredictConfig(topk_method="approx", pre_nms_topk=256 if smoke
+                         else PredictConfig.pre_nms_topk)
+    model = create_retinanet(
+        ModelConfig(depth=depth,
+                    compute_dtype="float32" if smoke else "bfloat16"),
+        num_classes=20)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
     anchors = jnp.asarray(anchors_for_shape(H, W))
     predict_sum = make_predict_sum(model, variables, anchors, pcfg, H, W)
@@ -89,7 +106,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "retinanet_r50_608x832_infer_images_per_sec_per_chip",
+                "metric": ("retinanet_r50_608x832_infer_images_per_sec"
+                           "_per_chip" + ("_smoke" if smoke else "")),
                 "value": round(imgs_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(imgs_per_sec / baseline, 3),
@@ -99,5 +117,8 @@ def main():
 
 
 if __name__ == "__main__":
-    _wait_for_device()
+    import os
+
+    if os.environ.get("BENCH_SMOKE") != "1":
+        _wait_for_device()
     main()
