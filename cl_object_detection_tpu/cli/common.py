@@ -159,6 +159,10 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--s2d_stem", type=str2bool, default=False,
                    help="host 2x2 space-to-depth batches for the "
                         "phase-packed stem conv")
+    p.add_argument("--fused_stem", type=str2bool, default=False,
+                   help="host 4x4 space-to-depth batches; the whole stem "
+                        "(conv+BN+ReLU+pool) runs as one Pallas kernel "
+                        "(2.5x the XLA stem on v5e)")
     p.add_argument("--transfer_dtype", default="float32",
                    choices=["float32", "uint8"],
                    help="uint8: ship raw 8-bit pixels and normalize on "
@@ -179,6 +183,10 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
                         "1 = pure data parallel")
     p.add_argument("--num_data", type=int, default=-1,
                    help="data-axis size; -1 = all remaining devices")
+    p.add_argument("--zero1", type=str2bool, default=False,
+                   help="ZeRO-1: shard the Adam moments over the data axis "
+                        "(1/ndata optimizer memory; updates all-gathered "
+                        "at step time)")
     p.add_argument("--coordinator_address", default=None,
                    help="multi-host: jax.distributed coordinator "
                         "host:port (auto-detected on TPU pods)")
@@ -242,6 +250,7 @@ def args_to_config(a: argparse.Namespace) -> TrainConfig:
             shape_buckets=_parse_shape_buckets(
                 a.shape_buckets, a.image_height, a.image_width),
             s2d_stem=a.s2d_stem,
+            fused_stem=a.fused_stem,
             transfer_dtype=a.transfer_dtype,
         ),
         schedule=ScheduleConfig(
@@ -291,6 +300,7 @@ def args_to_config(a: argparse.Namespace) -> TrainConfig:
         ),
         mesh=MeshConfig(
             enabled=a.mesh, num_model=a.num_model, num_data=a.num_data,
+            zero1=a.zero1,
         ),
         seed=a.seed,
         start_epoch=a.start_epoch,

@@ -100,6 +100,7 @@ def main(argv=None):
         width=run_data.get("width", DataConfig.width),
     )
     s2d = bool(run_data.get("s2d_stem", False))
+    fused = bool(run_data.get("fused_stem", False)) and not s2d
 
     def letterbox(img):
         """Fit ANY orientation into the single landscape serving frame:
@@ -114,10 +115,10 @@ def main(argv=None):
         out = np.zeros((dcfg.height, dcfg.width, 3), np.float32)
         out[:nh, :nw] = resized
         out = normalize_image(out)
-        if s2d:
+        if s2d or fused:
             from ..data.transforms import space_to_depth
 
-            out = space_to_depth(out[None])[0]
+            out = space_to_depth(out[None], factor=4 if fused else 2)[0]
         return out, scale
 
     # fixed-size batcher: requests queue up; the device thread pads to
@@ -128,6 +129,7 @@ def main(argv=None):
     # accepting traffic: a depth/frame mismatch must kill the process at
     # startup, not the background device thread after the socket is open
     frame_shape = ((dcfg.height // 2, dcfg.width // 2, 12) if s2d
+                   else (dcfg.height // 4, dcfg.width // 4, 64) if fused
                    else (dcfg.height, dcfg.width, 3))
     dummy = np.zeros((a.max_batch,) + frame_shape, np.float32)
     predict(variables, jnp.asarray(dummy))

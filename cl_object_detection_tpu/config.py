@@ -91,6 +91,11 @@ class DataConfig:
     s2d_stem: bool = False             # emit 2x2 space-to-depth batches
                                        # (B,H/2,W/2,12) for the phase-packed
                                        # stem conv (models/resnet.StemConv)
+    fused_stem: bool = False           # emit 4x4 space-to-depth batches
+                                       # (B,H/4,W/4,64): the whole stem
+                                       # (conv+BN+ReLU+pool) runs as one
+                                       # Pallas kernel (ops/stem_pallas.py,
+                                       # measured 2.5x the XLA stem)
     transfer_dtype: str = "float32"    # "uint8": skip host normalization,
                                        # ship raw 8-bit pixels (4x less
                                        # host->device infeed); the backbone
@@ -298,6 +303,10 @@ class MeshConfig:
     model_axis: str = "model"
     num_data: int = -1                 # -1: all devices on the data axis
     num_model: int = 1
+    zero1: bool = False                # ZeRO-1: shard the Adam moments over
+                                       # the data axis (1/ndata optimizer
+                                       # memory; GSPMD all-gathers the
+                                       # param updates at step time)
 
 
 # ---------------------------------------------------------------------------

@@ -170,6 +170,8 @@ class BatchLoader:
             # per-sample so the transpose runs inside the decode workers
             # (threaded), not as a serial stall at batch assembly
             img = space_to_depth(img[None])[0]
+        elif cfg.fused_stem:
+            img = space_to_depth(img[None], factor=4)[0]
         return img, pboxes, plabels, n, num_pseudo, scale, ds.image_ids[idx]
 
     def _assemble(self, group: Sequence[int], epoch: int) -> Batch:

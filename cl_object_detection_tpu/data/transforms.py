@@ -146,24 +146,32 @@ def pad_annotations(
     return out_boxes, out_labels, n
 
 
-def space_to_depth(images: np.ndarray) -> np.ndarray:
-    """2x2 space-to-depth for the phase-packed stem conv.
+def space_to_depth(images: np.ndarray, factor: int = 2) -> np.ndarray:
+    """Space-to-depth for the phase-packed stem convs.
 
-    ``(B, H, W, C) -> (B, H/2, W/2, 4C)`` with channel order
+    ``factor=2``: ``(B, H, W, C) -> (B, H/2, W/2, 4C)`` with channel order
     (row-phase, col-phase, c) — the layout models.resnet.StemConv expects
-    for its 12-channel input. Pure host-side reshape/transpose (the
+    for its 12-channel input. ``factor=4``: ``(B, H, W, 3) ->
+    (B, H/4, W/4, 64)`` (48 phase channels + 16 zero pad to a full lane
+    half-tile) for the fully-fused Pallas stem (ops/stem_pallas.py,
+    DataConfig.fused_stem). Pure host-side reshape/transpose (the
     equivalent device transpose costs ~4.7 ms/batch on v5e — the lane
     interleave defeats the VPU; on host it's free inside the decode
     workers).
     """
     b, h, w, c = images.shape
-    # H, W must be multiples of 4: the phase-packed stem conv pools on the
+    # H, W must be multiples of 4: both phase-packed stems pool on the
     # H/4 grid, and an even-but-not-%4 dim silently yields feature maps
     # one row/col short of the RGB path (anchor/logit misalignment)
     assert h % 4 == 0 and w % 4 == 0, (h, w)
-    out = images.reshape(b, h // 2, 2, w // 2, 2, c)
+    f = factor
+    out = images.reshape(b, h // f, f, w // f, f, c)
     out = out.transpose(0, 1, 3, 2, 4, 5)
-    return np.ascontiguousarray(out.reshape(b, h // 2, w // 2, 4 * c))
+    out = np.ascontiguousarray(out.reshape(b, h // f, w // f, f * f * c))
+    if factor == 4:
+        pad = np.zeros(out.shape[:3] + (64 - out.shape[-1],), out.dtype)
+        out = np.concatenate([out, pad], axis=-1)
+    return out
 
 
 def logical_image_hw(images) -> Tuple[int, int]:
@@ -176,4 +184,6 @@ def logical_image_hw(images) -> Tuple[int, int]:
     h, w = int(images.shape[1]), int(images.shape[2])
     if images.shape[-1] == 12:
         return 2 * h, 2 * w
+    if images.shape[-1] == 64:
+        return 4 * h, 4 * w
     return h, w

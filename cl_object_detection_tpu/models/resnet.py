@@ -54,6 +54,13 @@ class StemConv(nn.Module):
       MXU; this form trades it for one MXU-friendlier conv and makes the
       following 3x3/2 max-pool a shift-only max over channel blocks
       (``phase_pool``), with no strided memory access anywhere.
+    * ``(B, H/4, W/4, 64)`` — host 4x4 space-to-depth input
+      (transforms.space_to_depth(factor=4), DataConfig.fused_stem): the
+      whole stem (conv + folded BN + ReLU + 3x3/2 max-pool) runs as ONE
+      fused Pallas im2col-matmul kernel (ops/stem_pallas.py; measured
+      2.65 vs 6.71 ms XLA per B16 608x832 batch) and returns the POOLED
+      (B, H/4, W/4, 64) tensor directly. Requires the BN fold
+      (bn_scale/bn_bias).
 
     Derivation: y[r] = sum_t X[r+t-2, alpha] w'[2t+alpha] on the H/2 grid
     (w' = k7 zero-padded to 8 taps); phase-packing y4[i,(a,..)] = y[2i+a]
@@ -74,6 +81,15 @@ class StemConv(nn.Module):
             return lax.conv_general_dilated(
                 x, kernel.astype(self.dtype), (2, 2), [(3, 3), (3, 3)],
                 dimension_numbers=dn)
+        if x.shape[-1] == 64:
+            # fused stem: conv + BN + ReLU + pool in one kernel; returns
+            # the pooled tensor (the caller skips relu/pool)
+            from ..ops.stem_pallas import pack_stem_kernel, stem_fused
+
+            assert bn_scale is not None and bn_bias is not None
+            k3 = pack_stem_kernel(
+                (kernel * bn_scale.astype(kernel.dtype)).astype(self.dtype))
+            return stem_fused(x, k3, jnp.tile(bn_bias, 4))
         assert x.shape[-1] == 12, x.shape
         k = kernel
         if bn_scale is not None:
@@ -203,6 +219,12 @@ def _device_normalize(x, mean, std, dtype):
     std = jnp.asarray(std, jnp.float32)
     if c == 12:
         mean, std = jnp.tile(mean, 4), jnp.tile(std, 4)
+    elif c == 64:
+        # 4x4 s2d layout: 48 real channels (al,be,c) + 16 zero pad. The
+        # pad channels normalize to a nonzero constant, which is harmless
+        # — the packed stem kernel's rows for them are zero.
+        mean = jnp.concatenate([jnp.tile(mean, 16), jnp.zeros(16)])
+        std = jnp.concatenate([jnp.tile(std, 16), jnp.ones(16)])
     out = (x.astype(jnp.float32) / 255.0 - mean) / std
     return out.astype(dtype)
 
@@ -233,7 +255,15 @@ class ResNetBackbone(nn.Module):
             block = nn.remat(block)
 
         x = _device_normalize(x, self.input_mean, self.input_std, self.dtype)
-        if x.shape[-1] == 12:
+        if x.shape[-1] == 64:
+            # fused 4x4-s2d stem (conv+BN+ReLU+pool in one Pallas kernel,
+            # ops/stem_pallas.py); BN probed as in the 12-channel branch
+            bn = FrozenBN(jnp.float32, name="bn1")
+            bn_bias = bn(jnp.zeros((1, 1, 1, 64)))[0, 0, 0]
+            bn_scale = bn(jnp.ones((1, 1, 1, 64)))[0, 0, 0] - bn_bias
+            x = StemConv(self.dtype, name="conv1")(
+                x, bn_scale=bn_scale, bn_bias=bn_bias)
+        elif x.shape[-1] == 12:
             # space-to-depth stem: BN folded into the phase-packed conv
             # (so XLA fuses conv+bias+relu in one pass) -> factored
             # shift-only max-pool. The frozen BN is an affine per channel;

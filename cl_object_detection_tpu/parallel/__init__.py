@@ -3,6 +3,9 @@ from .mesh import (
     data_sharding,
     global_batch_from_local,
     init_distributed,
+    make_param_constraint,
     replicate,
     shard_batch,
+    shard_train_state,
+    zero1_extend_spec,
 )

@@ -95,14 +95,64 @@ def head_tp_spec(path, leaf, axis: str = "model"):
     return P()
 
 
+def zero1_extend_spec(base: P, shape, ndata: int, data_axis: str = "data") -> P:
+    """ZeRO-1: extend a leaf's PartitionSpec with the ``data`` axis on its
+    largest still-unsharded dim that divides evenly. Optimizer moments
+    sharded this way cost 1/ndata of the memory; the Adam update runs on
+    the shard and GSPMD all-gathers the param updates (the classic
+    optimizer-state-sharding recipe — the reference has no distributed
+    story at all, SURVEY.md §2.2). Leaves with no divisible free dim (tiny
+    biases like the 9·C-channel output bias) replicate unchanged."""
+    if ndata <= 1 or not shape:
+        return base
+    entries = list(base) + [None] * (len(shape) - len(base))
+    best = None
+    for d, n in enumerate(shape):
+        if entries[d] is None and n >= ndata and n % ndata == 0:
+            if best is None or n > shape[best]:
+                best = d
+    if best is None:
+        return base
+    entries[best] = data_axis
+    return P(*entries)
+
+
+def make_param_constraint(mesh: Mesh, num_model: int = 1,
+                          model_axis: str = "model"):
+    """``with_sharding_constraint`` pinning freshly-updated params to their
+    canonical sharding (replicated, or head-TP) INSIDE the train step.
+
+    Needed under ZeRO-1: the Adam update is computed on data-sharded
+    moments, and without an explicit constraint GSPMD may leave the new
+    params data-sharded, deferring the all-gather into the next forward
+    pass where it can't overlap with the optimizer math."""
+    import jax.tree_util as jtu
+
+    repl = replicate(mesh)
+
+    def constrain(params):
+        if num_model <= 1:
+            return jax.lax.with_sharding_constraint(params, repl)
+        return jtu.tree_map_with_path(
+            lambda path, x: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, head_tp_spec(path, x, model_axis))),
+            params,
+        )
+
+    return constrain
+
+
 def shard_train_state(mesh: Mesh, train_state, num_model: int = 1,
-                      model_axis: str = "model"):
+                      model_axis: str = "model", zero1: bool = False,
+                      data_axis: str = "data"):
     """Place a TrainState on the mesh: head-trunk TP when num_model > 1,
+    ZeRO-1 data-axis sharding of the optimizer moments when ``zero1``,
     everything else replicated. opt_state/grad_acc moments follow their
     param's spec (same tree structure per group)."""
     import jax.tree_util as jtu
 
-    if num_model <= 1:
+    ndata = mesh.shape[data_axis] if zero1 else 1
+    if num_model <= 1 and ndata <= 1:
         return jax.device_put(train_state, replicate(mesh))
 
     def put_params_like(tree):
@@ -120,21 +170,25 @@ def shard_train_state(mesh: Mesh, train_state, num_model: int = 1,
         # adam mu/nu and the accumulator are param-shaped trees nested in
         # optax NamedTuples; map leaf-wise with a params-path lookup
         opt_state=_put_like_params(mesh, train_state.opt_state,
-                                   train_state.params, model_axis),
+                                   train_state.params, model_axis,
+                                   ndata=ndata, data_axis=data_axis),
         grad_acc=put_params_like(train_state.grad_acc),
         acc_count=jax.device_put(train_state.acc_count, repl),
     )
 
 
-def _put_like_params(mesh: Mesh, opt_state, params, model_axis: str):
-    """Shard every param-shaped subtree of an optax state like the params;
-    scalars and anything non-param-shaped replicate."""
+def _put_like_params(mesh: Mesh, opt_state, params, model_axis: str,
+                     ndata: int = 1, data_axis: str = "data"):
+    """Shard every param-shaped subtree of an optax state like the params
+    (plus the ZeRO-1 data axis when ndata > 1); scalars and anything
+    non-param-shaped replicate."""
     import jax.tree_util as jtu
 
     spec_by_path = {}
     for path, leaf in jtu.tree_flatten_with_path(params)[0]:
         keys = tuple(str(getattr(p, "key", "")) for p in path)
-        spec_by_path[keys] = head_tp_spec(path, leaf, model_axis)
+        spec_by_path[keys] = zero1_extend_spec(
+            head_tp_spec(path, leaf, model_axis), leaf.shape, ndata, data_axis)
 
     def rec(node):
         if isinstance(node, dict):

@@ -84,6 +84,7 @@ def make_train_step(
     loss_statics: LossStatics,
     step_statics: StepStatics,
     donate: bool = True,
+    param_constraint: Optional[Callable] = None,
 ):
     """Build the jitted step.
 
@@ -172,7 +173,15 @@ def make_train_step(
             if ss.use_agem and replay_grad is not None:
                 g = _agem_project(g, replay_grad)
             updates, new_opt = state.tx.update(g, opt_state, params)
-            return jax.tree.map(jnp.add, params, updates), new_opt
+            new_params = jax.tree.map(jnp.add, params, updates)
+            if param_constraint is not None:
+                # ZeRO-1 (parallel.mesh.make_param_constraint): the update
+                # was computed on data-sharded Adam moments — pin the new
+                # params back to their canonical (replicated/TP) sharding
+                # here so GSPMD places the all-gather in the optimizer
+                # phase, not in the next forward
+                new_params = param_constraint(new_params)
+            return new_params, new_opt
 
         if ss.every_iter <= 1:
             if loss_statics.enhance_only:

@@ -108,10 +108,16 @@ class ILTrainer:
         # is sharded over the data axis — GSPMD inserts the gradient
         # all-reduce inside the existing compiled steps.
         self.mesh = None
+        self._param_constraint = None
         if cfg.mesh.enabled:
-            from ..parallel.mesh import create_mesh
+            from ..parallel.mesh import create_mesh, make_param_constraint
 
             self.mesh = create_mesh(cfg.mesh)
+            if cfg.mesh.zero1:
+                # ZeRO-1: moments shard over 'data'; the step re-pins the
+                # updated params to their canonical sharding
+                self._param_constraint = make_param_constraint(
+                    self.mesh, cfg.mesh.num_model, cfg.mesh.model_axis)
             ndata = self.mesh.shape[cfg.mesh.data_axis]
             if cfg.data.batch_size % ndata:
                 raise ValueError(
@@ -227,7 +233,8 @@ class ILTrainer:
 
             self.train_state = shard_train_state(
                 self.mesh, self.train_state, self.cfg.mesh.num_model,
-                self.cfg.mesh.model_axis,
+                self.cfg.mesh.model_axis, zero1=self.cfg.mesh.zero1,
+                data_axis=self.cfg.mesh.data_axis,
             )
         self._steps.clear()
 
@@ -356,6 +363,7 @@ class ILTrainer:
                 # donate the TrainState buffers: the old state is dead the
                 # moment the step returns (nothing else aliases it)
                 donate=True,
+                param_constraint=self._param_constraint,
             )
         return self._steps[key]
 
@@ -880,7 +888,8 @@ class ILTrainer:
 
             self.train_state = shard_train_state(
                 self.mesh, self.train_state, self.cfg.mesh.num_model,
-                self.cfg.mesh.model_axis,
+                self.cfg.mesh.model_axis, zero1=self.cfg.mesh.zero1,
+                data_axis=self.cfg.mesh.data_axis,
             )
         if il_meta and "bic" in il_meta and self.bic is not None:
             self.bic.params.load(il_meta["bic"])

@@ -175,6 +175,130 @@ def test_sharded_predict_with_bic_matches_single_device():
     assert "data" in str(out.scores.sharding.spec)
 
 
+def _zero1_state_and_batch(every_iter=1):
+    model = create_retinanet(ModelConfig(depth=18, compute_dtype="float32"), C)
+    variables = model.init(jax.random.PRNGKey(3), jnp.zeros((1, H, W, 3)))
+    tx = make_optimizer(ScheduleConfig(lr=1e-3, every_iter=every_iter),
+                        variables["params"])
+    state = TrainState.create(
+        params=variables["params"], batch_stats=variables["batch_stats"], tx=tx
+    )
+    anchors = jnp.asarray(anchors_for_shape(H, W))
+    rng = np.random.RandomState(3)
+    images = rng.randn(8, H, W, 3).astype(np.float32) * 0.1
+    boxes = np.full((8, 4, 4), -1, np.float32)
+    labels = np.full((8, 4), -1, np.int32)
+    boxes[:, 0] = [12, 12, 44, 44]
+    labels[:, 0] = 2
+    step = make_train_step(
+        model, None, anchors, ILConfig(), FocalConfig(),
+        LossStatics(num_classes=C), StepStatics(every_iter=every_iter),
+        donate=False,
+    )
+    return model, state, anchors, (images, boxes, labels), step
+
+
+def test_zero1_moments_sharded_and_parity():
+    """ZeRO-1: Adam moments shard over the data axis (1/8 memory per
+    device), the updated params come back replicated (the step's
+    param_constraint), and two optimizer steps match the fully-replicated
+    run."""
+    from cl_object_detection_tpu.parallel.mesh import (
+        make_param_constraint,
+        shard_train_state,
+    )
+    from cl_object_detection_tpu.train.step import make_train_step as mts
+
+    mesh = create_mesh(MeshConfig())
+    model, state, anchors, (images, boxes, labels), step_ref = (
+        _zero1_state_and_batch())
+
+    # reference: fully replicated, 2 steps
+    s_ref = jax.device_put(state, replicate(mesh))
+    batch = shard_batch(mesh, {"images": images, "boxes": boxes,
+                               "labels": labels})
+    s_ref, _ = step_ref(s_ref, batch["images"], batch["boxes"], batch["labels"])
+    s_ref, _ = step_ref(s_ref, batch["images"], batch["boxes"], batch["labels"])
+
+    # zero1: moments sharded, params constrained back to replicated
+    s_z = shard_train_state(mesh, state, zero1=True)
+    step_z = mts(
+        model, None, anchors, ILConfig(), FocalConfig(),
+        LossStatics(num_classes=C), StepStatics(every_iter=1),
+        donate=False,
+        param_constraint=make_param_constraint(mesh),
+    )
+    s_z, m = step_z(s_z, batch["images"], batch["boxes"], batch["labels"])
+    s_z, _ = step_z(s_z, batch["images"], batch["boxes"], batch["labels"])
+    assert np.isfinite(float(m["total_loss"]))
+
+    # moments actually sharded: some leaf carries 'data' in its spec and
+    # holds only 1/8 of the elements per device
+    sharded = [
+        x for x in jax.tree.leaves(s_z.opt_state)
+        if hasattr(x, "sharding") and x.ndim > 0
+        and "data" in str(getattr(x.sharding, "spec", ""))
+    ]
+    assert sharded, "no ZeRO-1-sharded moment leaves found"
+    big = max(sharded, key=lambda x: x.size)
+    assert big.addressable_shards[0].data.size == big.size // 8
+
+    # params replicated after the update
+    k = s_z.params["classification_head"]["output"]["kernel"]
+    assert k.sharding.is_fully_replicated
+
+    # parity with the replicated run
+    for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_z.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_zero1_composes_with_tp():
+    """ZeRO-1 on a 4x2 (data x model) mesh: TP-sharded head moments gain
+    the data axis on a FREE dim, and a step stays finite with params back
+    on their TP sharding."""
+    from cl_object_detection_tpu.parallel.mesh import (
+        head_tp_spec,
+        make_param_constraint,
+        shard_train_state,
+        zero1_extend_spec,
+    )
+    from cl_object_detection_tpu.train.step import make_train_step as mts
+    from jax.sharding import PartitionSpec as P
+
+    # spec math: a col-parallel head kernel (cout on 'model') gets 'data'
+    # on cin; a leaf with no divisible free dim stays put
+    spec = zero1_extend_spec(P(None, None, None, "model"), (3, 3, 256, 128),
+                             ndata=4)
+    assert spec == P(None, None, "data", "model")
+    assert zero1_extend_spec(P(), (7,), ndata=4) == P()
+
+    mesh = create_mesh(MeshConfig(num_model=2))
+    model, state, anchors, (images, boxes, labels), _ = (
+        _zero1_state_and_batch())
+    s_z = shard_train_state(mesh, state, num_model=2, zero1=True)
+    step = mts(
+        model, None, anchors, ILConfig(), FocalConfig(),
+        LossStatics(num_classes=C), StepStatics(every_iter=1),
+        donate=False,
+        param_constraint=make_param_constraint(mesh, num_model=2),
+    )
+    batch = shard_batch(mesh, {"images": images, "boxes": boxes,
+                               "labels": labels})
+    s_z, m = step(s_z, batch["images"], batch["boxes"], batch["labels"])
+    assert np.isfinite(float(m["total_loss"]))
+    # a head-trunk moment leaf carries both axes
+    specs = {
+        str(getattr(x.sharding, "spec", ""))
+        for x in jax.tree.leaves(s_z.opt_state)
+        if hasattr(x, "sharding") and x.ndim == 4
+    }
+    assert any("data" in s and "model" in s for s in specs), specs
+    # params keep their TP sharding after the constrained update
+    k = s_z.params["classification_head"]["conv1"]["kernel"]
+    assert "model" in str(k.sharding.spec)
+
+
 def test_bic_vector_args_match_closure():
     """BiC as runtime (scale, offset) vectors == the baked-in closure —
     the one-compiled-program-for-all-epochs path of
