@@ -23,8 +23,20 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
+def _stem_images(images: "np.ndarray", stem: str) -> "np.ndarray":
+    """Host-side frame conversion for the stem variants (what the
+    BatchLoader does in production: data/loader.py `_make_example`)."""
+    from cl_object_detection_tpu.data.transforms import space_to_depth
+
+    if stem == "s2d":
+        return space_to_depth(images)
+    if stem == "fused":
+        return space_to_depth(images, factor=4)
+    return images
+
+
 def run(batch: int, iters: int, remat: bool, depth: int = 50,
-        H: int = 640, W: int = 1024) -> float:
+        H: int = 640, W: int = 1024, stem: str = "rgb") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -55,7 +67,8 @@ def run(batch: int, iters: int, remat: bool, depth: int = 50,
     )
 
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.randn(batch, H, W, 3).astype(np.float32) * 0.1)
+    images = jnp.asarray(_stem_images(
+        rng.randn(batch, H, W, 3).astype(np.float32) * 0.1, stem))
     boxes = np.full((batch, M, 4), -1, np.float32)
     labels = np.full((batch, M), -1, np.int32)
     for b in range(batch):  # 8 valid GT boxes per image
@@ -82,7 +95,7 @@ def run(batch: int, iters: int, remat: bool, depth: int = 50,
 
 
 def run_split(batch: int, iters: int, remat: bool, depth: int = 50,
-              height: int = 640, width: int = 1024):
+              height: int = 640, width: int = 1024, stem: str = "rgb"):
     """Phase split of the train step: forward / +loss / +backward / full
     step (optimizer = full − backward), plus an MFU estimate.
 
@@ -114,7 +127,8 @@ def run_split(batch: int, iters: int, remat: bool, depth: int = 50,
     apply_plain = lambda v, x, act: model.apply(v, x, enable_act=act)
 
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.randn(batch, H, W, 3).astype(np.float32) * 0.1)
+    images = jnp.asarray(_stem_images(
+        rng.randn(batch, H, W, 3).astype(np.float32) * 0.1, stem))
     boxes_np = np.full((batch, M, 4), -1, np.float32)
     labels_np = np.full((batch, M), -1, np.int32)
     for b in range(batch):
@@ -161,7 +175,7 @@ def run_split(batch: int, iters: int, remat: bool, depth: int = 50,
     t_loss = timed(loss_of)
     t_grad = timed(grad_scalar)
     # full-step time from `run` (includes optimizer + accumulator traffic)
-    ips_full = run(batch, iters, remat, depth, height, width)
+    ips_full = run(batch, iters, remat, depth, height, width, stem)
     t_full = batch / ips_full
 
     # --- MFU from XLA's compiled cost analysis of the grad computation
@@ -210,22 +224,27 @@ def main():
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--split", action="store_true",
                    help="phase split (fwd/loss/bwd/opt) + MFU estimate")
+    p.add_argument("--stem", default="rgb", choices=["rgb", "s2d", "fused"],
+                   help="input frame / stem variant (fused = the Pallas "
+                        "conv+BN+ReLU+pool kernel on host 4x4 s2d batches, "
+                        "--fused_stem in training)")
     args = p.parse_args()
+    tag = "" if args.stem == "rgb" else f"_{args.stem}_stem"
     for b in args.batch:
         if args.split:
             out = run_split(b, args.iters, args.remat, args.depth,
-                            args.height, args.width)
+                            args.height, args.width, args.stem)
             out["metric"] = (f"retinanet_r{args.depth}_"
                              f"{args.height}x{args.width}_train_split"
-                             + ("_remat" if args.remat else ""))
+                             + ("_remat" if args.remat else "") + tag)
             print(json.dumps(out), flush=True)
             continue
         ips = run(b, args.iters, args.remat, args.depth,
-                  args.height, args.width)
+                  args.height, args.width, args.stem)
         print(
             json.dumps(
                 {
-                    "metric": f"retinanet_r{args.depth}_{args.height}x{args.width}_train_images_per_sec_per_chip",
+                    "metric": f"retinanet_r{args.depth}_{args.height}x{args.width}_train_images_per_sec_per_chip{tag}",
                     "batch": b,
                     "value": round(ips, 2),
                     "unit": "images/sec/chip",
