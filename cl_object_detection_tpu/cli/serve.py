@@ -41,6 +41,13 @@ def main(argv=None):
                              "(handler 503s and the device thread skips it)")
     parser.add_argument("--quantize", action="store_true",
                         help="int8 dynamic-PTQ convs (ops/quant.py)")
+    parser.add_argument("--transfer_dtype", default="uint8",
+                        choices=["float32", "uint8"],
+                        help="host->device frame dtype; uint8 ships 4x "
+                             "less infeed and normalizes on device "
+                             "(models/resnet._device_normalize, exact-"
+                             "parity tested) — the serving default since "
+                             "infeed is the serving hot path")
     parser.add_argument("--cpu", action="store_true")
     a = parser.parse_args(argv)
 
@@ -102,19 +109,29 @@ def main(argv=None):
     s2d = bool(run_data.get("s2d_stem", False))
     fused = bool(run_data.get("fused_stem", False)) and not s2d
 
+    uint8 = a.transfer_dtype == "uint8"
+
     def letterbox(img):
         """Fit ANY orientation into the single landscape serving frame:
         scale = min(H/h, W/w), then zero-pad (unlike training's two
         orientation buckets, a server wants exactly one compiled shape).
         Runs in the HANDLER threads so decode+resize parallelize across
-        requests instead of serializing in the device thread."""
+        requests instead of serializing in the device thread. With
+        --transfer_dtype uint8 the frame stays raw 8-bit (resize is still
+        float; only the transfer quantizes, max error 0.5/255/pixel) and
+        the backbone normalizes on device — 4x less bytes through the
+        host->device link, which dominates serving latency."""
         h, w = img.shape[:2]
         scale = min(dcfg.height / h, dcfg.width / w)
         nh, nw = int(h * scale), int(w * scale)
         resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
-        out = np.zeros((dcfg.height, dcfg.width, 3), np.float32)
-        out[:nh, :nw] = resized
-        out = normalize_image(out)
+        out = np.zeros((dcfg.height, dcfg.width, 3),
+                       np.uint8 if uint8 else np.float32)
+        if uint8:
+            out[:nh, :nw] = np.clip(np.round(resized * 255.0), 0, 255)
+        else:
+            out[:nh, :nw] = resized
+            out = normalize_image(out)
         if s2d or fused:
             from ..data.transforms import space_to_depth
 
@@ -131,7 +148,8 @@ def main(argv=None):
     frame_shape = ((dcfg.height // 2, dcfg.width // 2, 12) if s2d
                    else (dcfg.height // 4, dcfg.width // 4, 64) if fused
                    else (dcfg.height, dcfg.width, 3))
-    dummy = np.zeros((a.max_batch,) + frame_shape, np.float32)
+    frame_dtype = np.uint8 if uint8 else np.float32
+    dummy = np.zeros((a.max_batch,) + frame_shape, frame_dtype)
     predict(variables, jnp.asarray(dummy))
     print(f"serving on :{a.port} (batch {a.max_batch}, depth {depth}, "
           f"frame {dcfg.height}x{dcfg.width})")
@@ -165,7 +183,7 @@ def main(argv=None):
                 continue
             try:
                 images = np.zeros(
-                    (a.max_batch,) + frame_shape, np.float32)
+                    (a.max_batch,) + frame_shape, frame_dtype)
                 scales = np.ones(a.max_batch, np.float32)
                 for i, (img, _done, _out, _t) in enumerate(batch):
                     images[i], scales[i] = img
