@@ -1,10 +1,21 @@
-"""Batch-size sweep for the headline inference bench (experiment tool)."""
-import json, sys
+"""Batch-size sweep for the headline inference bench (experiment tool).
+
+    python tools/bench_sweep.py [--stem rgb|fused] [batch sizes...]
+
+Measured (v5e, R50 bf16, 608x832, approx top-k): rgb 436 @ B8, 482 @ B16,
+514 @ B32, 520 @ B64 (plateau); fused stem 533 @ B32, 512 @ B48,
+532 @ B64 — B32 is the knee either way (bench.py's operating point).
+"""
+import argparse
+import json
+import sys
+
 import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-def run(batch, iters=20, H=608, W=832):
+
+def run(batch, stem="rgb", iters=20, H=608, W=832):
     import jax, jax.numpy as jnp
     from cl_object_detection_tpu.config import ModelConfig, PredictConfig
     from cl_object_detection_tpu.models import create_retinanet
@@ -15,15 +26,27 @@ def run(batch, iters=20, H=608, W=832):
     )
 
     pcfg = PredictConfig(topk_method="approx")
-    model = create_retinanet(ModelConfig(depth=50), num_classes=20)
+    model = create_retinanet(ModelConfig(depth=50, compute_dtype="bfloat16"),
+                             num_classes=20)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
     anchors = jnp.asarray(anchors_for_shape(H, W))
     predict_sum = make_predict_sum(model, variables, anchors, pcfg, H, W)
 
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.randn(batch, H, W, 3).astype(np.float32))
-    dt = time_chained(predict_sum, images, iters=iters, reps=3)
+    images = rng.randn(batch, H, W, 3).astype(np.float32)
+    if stem == "fused":
+        from cl_object_detection_tpu.data.transforms import space_to_depth
+
+        images = space_to_depth(images, factor=4)
+    dt = time_chained(predict_sum, jnp.asarray(images), iters=iters, reps=3)
     return batch * iters / dt
 
-for b in [int(x) for x in sys.argv[1:]] or [8, 16, 32]:
-    print(json.dumps({"batch": b, "img_per_s": round(run(b), 2)}), flush=True)
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--stem", default="rgb", choices=["rgb", "fused"])
+    ap.add_argument("batch", type=int, nargs="*", default=[8, 16, 32])
+    a = ap.parse_args()
+    for b in a.batch:
+        print(json.dumps({"batch": b, "stem": a.stem,
+                          "img_per_s": round(run(b, a.stem), 2)}), flush=True)
