@@ -134,3 +134,23 @@ def test_predict_fn_quantize_flag(small_model):
         model, PredictConfig(quantize=True))(variables, img)
     assert det_q.boxes.shape == det_f.boxes.shape
     assert bool(jnp.all(jnp.isfinite(det_q.scores)))
+
+
+def test_quantize_composes_with_fused_stem_input(small_model):
+    """--quantize together with --fused_stem: the interceptor reroutes
+    trunk convs while the s2d4 stem (a raw Pallas/lax path, not nn.Conv)
+    stays float — the quantized fused-input model must agree with its own
+    fp32 fused-input path the same way the RGB one does."""
+    from cl_object_detection_tpu.data.transforms import space_to_depth
+
+    model, variables, img = small_model
+    x4 = jnp.asarray(space_to_depth(np.asarray(img), factor=4))
+    logits, _ = model.apply(variables, x4, enable_act=False)
+    qapply = quant.quantized_apply(model)
+    qlogits, _ = jax.jit(
+        lambda v, x: qapply(v, x, enable_act=False))(variables, x4)
+    assert qlogits.shape == logits.shape
+    lf = np.asarray(logits, np.float32).ravel()
+    qf = np.asarray(qlogits, np.float32).ravel()
+    assert np.all(np.isfinite(qf))
+    assert np.corrcoef(lf, qf)[0, 1] > 0.98
