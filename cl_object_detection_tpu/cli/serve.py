@@ -48,6 +48,12 @@ def main(argv=None):
                              "(models/resnet._device_normalize, exact-"
                              "parity tested) — the serving default since "
                              "infeed is the serving hot path")
+    parser.add_argument("--from_export", default=None,
+                        help="serve a cli.export artifact directory "
+                             "(frozen StableHLO program; ignores "
+                             "--root_dir/--scenario/--state/--epoch/"
+                             "--depth/--quantize and takes batch/frame/"
+                             "dtype from the artifact's meta.json)")
     parser.add_argument("--cpu", action="store_true")
     a = parser.parse_args(argv)
 
@@ -60,56 +66,50 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from ..config import DataConfig, ModelConfig, PredictConfig
+    from ..config import DataConfig, PredictConfig
     from ..data.transforms import normalize_image
     from ..eval.predictor import make_predict_fn
-    from ..models import create_retinanet
-    from ..utils.checkpoint import CheckpointManager
 
-    ckpt = CheckpointManager(f"{a.root_dir}/checkpoint", a.scenario)
-    tree, il_meta = ckpt.restore(a.state, a.epoch)
-    num_classes = il_meta["num_classes"] if il_meta else 20
+    if a.from_export:
+        # frozen-artifact path: no checkpoint tree, no model classes —
+        # everything (weights, architecture, post-process, frame contract)
+        # rides in the exported program + meta.json (eval/deploy.py)
+        from ..eval.deploy import load_artifact
 
-    # model depth + serving frame default to what the run was trained with
-    # (params.json written next to the checkpoints) so a bare
-    # `serve --root_dir <run>` reconstructs the right architecture
-    # cli.train writes params.json in the START state's dir only — when
-    # serving a later IL state, fall back through earlier state dirs
-    run_cfg = {}
-    for s in range(a.state, -1, -1):
-        try:
-            with open(f"{ckpt.state_dir(s)}/params.json") as f:
-                run_cfg = json.load(f)
-            break
-        except (OSError, ValueError):
-            continue
-    # reconstruct the FULL architecture from the run's config — depth
-    # alone is not enough for non-default fpn_channels/head_layers/etc.
-    run_model = dict(run_cfg.get("model", {}))
-    if a.depth is not None:
-        run_model["depth"] = a.depth
-    mc_fields = {f.name for f in __import__("dataclasses").fields(ModelConfig)}
-    mcfg = ModelConfig(**{k: (tuple(v) if isinstance(v, list) else v)
-                          for k, v in run_model.items() if k in mc_fields})
-    depth = mcfg.depth
-    model = create_retinanet(mcfg, num_classes)
-    variables = {
-        "params": jax.tree.map(jnp.asarray, tree["params"]),
-        "batch_stats": jax.tree.map(jnp.asarray, tree["batch_stats"]),
-    }
-    # the jitted path must keep every candidate the server might emit
-    predict = make_predict_fn(
-        model, PredictConfig(score_thresh=min(0.05, a.score_thresh),
-                             quantize=a.quantize))
-    run_data = run_cfg.get("data", {})
-    dcfg = DataConfig(
-        height=run_data.get("height", DataConfig.height),
-        width=run_data.get("width", DataConfig.width),
-    )
-    s2d = bool(run_data.get("s2d_stem", False))
-    fused = bool(run_data.get("fused_stem", False)) and not s2d
+        run_predict, meta = load_artifact(a.from_export)
+        depth = meta["depth"]
+        dcfg = DataConfig(height=meta["height"], width=meta["width"])
+        s2d, fused = bool(meta["s2d"]), bool(meta["fused"])
+        uint8 = meta["transfer_dtype"] == "uint8"
+        if a.max_batch != meta["batch"]:
+            print(f"--max_batch {a.max_batch} -> {meta['batch']} "
+                  f"(the artifact's static batch)")
+            a.max_batch = meta["batch"]
+        if a.score_thresh < meta["score_thresh"]:
+            print(f"warning: --score_thresh {a.score_thresh} below the "
+                  f"artifact's baked {meta['score_thresh']} floor")
+    else:
+        from ..eval.deploy import load_serving_bundle
 
-    uint8 = a.transfer_dtype == "uint8"
+        bundle = load_serving_bundle(
+            a.root_dir, a.scenario, a.state, a.epoch, a.depth)
+        depth = bundle.mcfg.depth
+        dcfg = DataConfig(height=bundle.height, width=bundle.width)
+        s2d, fused = bundle.s2d, bundle.fused
+        uint8 = a.transfer_dtype == "uint8"
+        # the jitted path must keep every candidate the server might emit
+        predict = make_predict_fn(
+            bundle.model,
+            PredictConfig(score_thresh=min(0.05, a.score_thresh),
+                          quantize=a.quantize))
+        variables = bundle.variables
+
+        def run_predict(images):
+            det = predict(variables, jnp.asarray(images))
+            return {"boxes": np.asarray(det.boxes),
+                    "scores": np.asarray(det.scores),
+                    "labels": np.asarray(det.labels),
+                    "valid": np.asarray(det.valid)}
 
     def letterbox(img):
         """Fit ANY orientation into the single landscape serving frame:
@@ -150,7 +150,7 @@ def main(argv=None):
                    else (dcfg.height, dcfg.width, 3))
     frame_dtype = np.uint8 if uint8 else np.float32
     dummy = np.zeros((a.max_batch,) + frame_shape, frame_dtype)
-    predict(variables, jnp.asarray(dummy))
+    run_predict(dummy)
     print(f"serving on :{a.port} (batch {a.max_batch}, depth {depth}, "
           f"frame {dcfg.height}x{dcfg.width})")
 
@@ -187,11 +187,9 @@ def main(argv=None):
                 scales = np.ones(a.max_batch, np.float32)
                 for i, (img, _done, _out, _t) in enumerate(batch):
                     images[i], scales[i] = img
-                det = predict(variables, jnp.asarray(images))
-                boxes = np.asarray(det.boxes)
-                scores = np.asarray(det.scores)
-                labels = np.asarray(det.labels)
-                valid = np.asarray(det.valid)
+                det = run_predict(images)
+                boxes, scores = det["boxes"], det["scores"]
+                labels, valid = det["labels"], det["valid"]
                 for i, (_img, done, out, _t) in enumerate(batch):
                     keep = valid[i] & (scores[i] > a.score_thresh)
                     out["detections"] = [

@@ -1,0 +1,152 @@
+"""AOT deployment artifacts (eval/deploy.py, cli/export.py,
+cli/serve.py --from_export).
+
+Pins the deployment contract: a checkpoint exported to serialized
+StableHLO loads back WITHOUT the model classes and produces bit-identical
+detections to the live predict path; the HTTP server serves the frozen
+artifact end-to-end.
+"""
+import http.client
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.config import ModelConfig
+    from cl_object_detection_tpu.models import create_retinanet
+    from cl_object_detection_tpu.utils.checkpoint import CheckpointManager
+
+    root = tmp_path_factory.mktemp("deploy_run")
+    mcfg = ModelConfig(depth=18, fpn_channels=32, head_layers=1,
+                       pretrained=False)
+    model = create_retinanet(mcfg, num_classes=3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    ckpt = CheckpointManager(str(root / "checkpoint"), ["3"])
+    state = SimpleNamespace(params=variables["params"],
+                            batch_stats=variables["batch_stats"],
+                            opt_state={"none": np.zeros(1)}, step=0)
+    ckpt.save(0, 1, state, il_meta={"num_classes": 3})
+    with open(os.path.join(ckpt.state_dir(0), "params.json"), "w") as f:
+        json.dump({
+            "model": {"depth": 18, "fpn_channels": 32, "head_layers": 1,
+                      "pretrained": False},
+            "data": {"height": 64, "width": 64},
+        }, f)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def artifact_dir(run_dir):
+    from cl_object_detection_tpu.cli.export import main
+
+    out = os.path.join(run_dir, "artifact")
+    main(["--root_dir", run_dir, "--scenario", "3", "--state", "0",
+          "--batch", "2", "--score_thresh", "0.0", "--out", out])
+    return out
+
+
+def test_artifact_files_and_meta(artifact_dir):
+    from cl_object_detection_tpu.eval.deploy import (ARTIFACT_BLOB,
+                                                     ARTIFACT_META)
+
+    assert os.path.exists(os.path.join(artifact_dir, ARTIFACT_BLOB))
+    with open(os.path.join(artifact_dir, ARTIFACT_META)) as f:
+        meta = json.load(f)
+    assert meta["batch"] == 2
+    assert meta["frame_shape"] == [64, 64, 3]
+    assert meta["transfer_dtype"] == "uint8"
+    assert meta["num_classes"] == 3
+    assert meta["depth"] == 18
+
+
+def test_exported_matches_live_predict(run_dir, artifact_dir):
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.config import PredictConfig
+    from cl_object_detection_tpu.eval.deploy import (load_artifact,
+                                                     load_serving_bundle)
+    from cl_object_detection_tpu.eval.predictor import make_predict_fn
+
+    fn, meta = load_artifact(artifact_dir)
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (2, 64, 64, 3), np.uint8)
+    out = fn(imgs)
+
+    bundle = load_serving_bundle(run_dir, ["3"], 0)
+    predict = make_predict_fn(bundle.model, PredictConfig(score_thresh=0.0))
+    det = predict(bundle.variables, jnp.asarray(imgs))
+    np.testing.assert_array_equal(out["labels"], np.asarray(det.labels))
+    np.testing.assert_array_equal(out["valid"], np.asarray(det.valid))
+    np.testing.assert_allclose(out["boxes"], np.asarray(det.boxes),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(out["scores"], np.asarray(det.scores),
+                               rtol=1e-6, atol=1e-6)
+    assert out["valid"].sum() > 0  # prior-bias model emits detections
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_serve_from_export_http(artifact_dir):
+    import cv2
+
+    port = _free_port()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "cl_object_detection_tpu.cli.serve",
+         "--cpu", "--from_export", artifact_dir,
+         "--port", str(port), "--batch_window_ms", "5",
+         "--score_thresh", "0.0"],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    try:
+        deadline = time.time() + 300
+        while True:
+            assert proc.poll() is None, (
+                f"server died: {proc.stdout.read().decode()[-2000:]}")
+            try:
+                c = http.client.HTTPConnection("127.0.0.1", port, timeout=2)
+                c.request("GET", "/healthz")
+                if c.getresponse().status == 200:
+                    break
+            except OSError:
+                pass
+            assert time.time() < deadline, "server never became healthy"
+            time.sleep(1.0)
+
+        rng = np.random.RandomState(1)
+        img = rng.randint(0, 256, (48, 80, 3), np.uint8)
+        ok, buf = cv2.imencode(".jpg", img)
+        assert ok
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        c.request("POST", "/detect", body=buf.tobytes())
+        r = c.getresponse()
+        assert r.status == 200
+        dets = json.loads(r.read())["detections"]
+        assert len(dets) > 0
+        for d in dets:
+            assert 0 <= d["class_id"] < 3
+            assert np.isfinite(d["box"]).all()
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()

@@ -15,7 +15,7 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def run(batch, stem="rgb", iters=20, H=608, W=832):
+def run(batch, stem="rgb", iters=20, H=608, W=832, depth=50):
     import jax, jax.numpy as jnp
     from cl_object_detection_tpu.config import ModelConfig, PredictConfig
     from cl_object_detection_tpu.models import create_retinanet
@@ -26,8 +26,8 @@ def run(batch, stem="rgb", iters=20, H=608, W=832):
     )
 
     pcfg = PredictConfig(topk_method="approx")
-    model = create_retinanet(ModelConfig(depth=50, compute_dtype="bfloat16"),
-                             num_classes=20)
+    model = create_retinanet(
+        ModelConfig(depth=depth, compute_dtype="bfloat16"), num_classes=20)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
     anchors = jnp.asarray(anchors_for_shape(H, W))
     predict_sum = make_predict_sum(model, variables, anchors, pcfg, H, W)
@@ -45,8 +45,12 @@ def run(batch, stem="rgb", iters=20, H=608, W=832):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--stem", default="rgb", choices=["rgb", "fused"])
+    ap.add_argument("--depth", type=int, default=50,
+                    help="backbone depth (18/34/50/101/152) — model-family "
+                         "scaling rows for the README")
     ap.add_argument("batch", type=int, nargs="*", default=[8, 16, 32])
     a = ap.parse_args()
     for b in a.batch:
-        print(json.dumps({"batch": b, "stem": a.stem,
-                          "img_per_s": round(run(b, a.stem), 2)}), flush=True)
+        print(json.dumps({"batch": b, "stem": a.stem, "depth": a.depth,
+                          "img_per_s": round(run(b, a.stem, depth=a.depth),
+                                             2)}), flush=True)
