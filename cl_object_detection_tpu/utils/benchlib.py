@@ -14,12 +14,18 @@ import time
 
 
 def make_predict_sum(model, variables, anchors, pcfg, H: int, W: int):
-    """scalar = sum(det.scores) over the full forward + decode + NMS path."""
+    """scalar = sum(det.scores) over the full forward + decode + NMS path.
+
+    The weights ride through the chain as RUNTIME buffers (the ``consts``
+    attribute, threaded by :func:`chain`), not closure constants — closed-
+    over params get embedded in the HLO, and this rig's remote-compile
+    endpoint 413s on request bodies above ~R101 size (R152 fp32 params
+    alone are ~230 MB of inlined constants)."""
     import jax.numpy as jnp
 
     from ..ops.nms import detect_batch
 
-    def predict_sum(images):
+    def predict_sum(images, variables):
         logits, regression = model.apply(variables, images, enable_act=False)
         det = detect_batch(
             logits, regression, anchors, height=H, width=W,
@@ -31,21 +37,28 @@ def make_predict_sum(model, variables, anchors, pcfg, H: int, W: int):
         )
         return jnp.sum(det.scores)
 
+    predict_sum.consts = (variables,)
     return predict_sum
 
 
 def chain(step_fn, iters: int):
-    """jitted fn(x) -> scalar running step_fn ``iters`` times, chained."""
+    """fn(x) -> scalar running step_fn ``iters`` times, chained (jitted).
+
+    If ``step_fn`` carries a ``consts`` attribute (extra pytrees such as
+    model variables), they are passed as jit ARGUMENTS so they stay device
+    buffers instead of bloating the compiled program as constants."""
     import jax
 
+    consts = getattr(step_fn, "consts", ())
+
     @jax.jit
-    def chained(x):
+    def chained(x, *consts):
         def body(i, acc):
-            return acc + step_fn(x + acc * 1e-12)
+            return acc + step_fn(x + acc * 1e-12, *consts)
 
         return jax.lax.fori_loop(0, iters, body, 0.0)
 
-    return chained
+    return lambda x: chained(x, *consts)
 
 
 def time_chained(step_fn, x0, iters: int = 20, reps: int = 3) -> float:

@@ -34,4 +34,8 @@ def test_predict_sum_path():
                     .astype(np.float32))
     dt = time_chained(ps, x, iters=2, reps=1)
     assert dt > 0
-    assert np.isfinite(float(ps(x)))
+    # variables ride as runtime buffers via .consts (NOT closure constants
+    # — closed-over params inflate the compile payload with the model size;
+    # the dev rig's remote-compile endpoint 413s at R152)
+    assert ps.consts and "params" in ps.consts[0]
+    assert np.isfinite(float(ps(x, *ps.consts)))

@@ -5,6 +5,10 @@
 Measured (v5e, R50 bf16, 608x832, approx top-k): rgb 436 @ B8, 482 @ B16,
 514 @ B32, 520 @ B64 (plateau); fused stem 533 @ B32, 512 @ B48,
 532 @ B64 — B32 is the knee either way (bench.py's operating point).
+Family sweep (fused stem @ B32): R18 595, R34 484, R50 533, R101 437,
+R152 366 img/s/chip (R34 < R50: BasicBlocks burn FLOPs at high spatial
+resolution; R152 needs the benchlib consts-as-arguments path — closure
+params overflow this rig's remote-compile request limit).
 """
 import argparse
 import json
