@@ -98,6 +98,37 @@ def test_exported_matches_live_predict(run_dir, artifact_dir):
     assert out["valid"].sum() > 0  # prior-bias model emits detections
 
 
+def test_export_composes_with_quantize(run_dir):
+    """int8 dynamic-PTQ (ops/quant.py's flax interceptor) bakes into the
+    exported program — the artifact itself is quantized, no opt-in needed
+    at serving time."""
+    from cl_object_detection_tpu.eval.deploy import (export_predict,
+                                                     load_artifact,
+                                                     load_serving_bundle,
+                                                     save_artifact)
+
+    bundle = load_serving_bundle(run_dir, ["3"], 0)
+    blob, meta = export_predict(bundle, batch=1, score_thresh=0.0,
+                                quantize=True)
+    assert meta["quantize"] is True
+    out_dir = os.path.join(run_dir, "artifact_int8")
+    save_artifact(out_dir, blob, meta)
+    fn, _ = load_artifact(out_dir)
+    imgs = np.random.RandomState(2).randint(0, 256, (1, 64, 64, 3), np.uint8)
+    out = fn(imgs)
+    assert out["valid"].sum() > 0
+    assert np.isfinite(out["boxes"][out["valid"]]).all()
+
+
+def test_export_bic_without_state_errors(run_dir):
+    from cl_object_detection_tpu.eval.deploy import (export_predict,
+                                                     load_serving_bundle)
+
+    bundle = load_serving_bundle(run_dir, ["3"], 0)
+    with pytest.raises(ValueError, match="BiC"):
+        export_predict(bundle, batch=1, bic=True)
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
