@@ -129,6 +129,65 @@ def test_export_bic_without_state_errors(run_dir):
         export_predict(bundle, batch=1, bic=True)
 
 
+def test_export_bakes_bic_correction(tmp_path):
+    """--bic on export: the artifact's detections must DIFFER from the
+    uncorrected artifact's (the correction rides inside the frozen
+    program — reference Bic_Evaluator applied in model.predict,
+    model.py:504-505)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.config import ModelConfig, TrainConfig
+    from cl_object_detection_tpu.eval.deploy import (export_predict,
+                                                     load_artifact,
+                                                     load_serving_bundle,
+                                                     save_artifact)
+    from cl_object_detection_tpu.models import create_retinanet
+    from cl_object_detection_tpu.utils.checkpoint import CheckpointManager
+
+    root = str(tmp_path)
+    mcfg = ModelConfig(depth=18, fpn_channels=32, head_layers=1,
+                       pretrained=False)
+    model = create_retinanet(mcfg, num_classes=3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    ckpt = CheckpointManager(os.path.join(root, "checkpoint"), ["2", "1"])
+    cfg = TrainConfig()
+    cfg = dataclasses.replace(
+        cfg, il=dataclasses.replace(cfg.il, scenario=("2", "1")))
+    il_meta = {"num_classes": 3, "config": cfg.to_json(),
+               # a strong correction so the prior-bias model's class-2
+               # scores visibly move: 0.5*logit+2 lifts p from .01 to ~.43
+               "bic": {"alphas": [0.5], "betas": [2.0]}}
+    ckpt.save(1, 1, SimpleNamespace(params=variables["params"],
+                                    batch_stats=variables["batch_stats"],
+                                    opt_state={"none": np.zeros(1)}, step=0),
+              il_meta=il_meta)
+    with open(os.path.join(ckpt.state_dir(1), "params.json"), "w") as f:
+        json.dump({"model": {"depth": 18, "fpn_channels": 32,
+                             "head_layers": 1, "pretrained": False},
+                   "data": {"height": 64, "width": 64}}, f)
+
+    bundle = load_serving_bundle(root, ["2", "1"], 1)
+    imgs = np.random.RandomState(3).randint(0, 256, (1, 64, 64, 3), np.uint8)
+    outs = {}
+    for use_bic in (False, True):
+        blob, meta = export_predict(bundle, batch=1, score_thresh=0.0,
+                                    bic=use_bic)
+        assert meta["bic"] is use_bic
+        d = os.path.join(root, f"art_bic_{use_bic}")
+        save_artifact(d, blob, meta)
+        fn, _ = load_artifact(d)
+        outs[use_bic] = fn(imgs)
+    # corrected artifact boosts new-class (id 2) scores; uncorrected
+    # prior-bias model scores everything ~0.01
+    bic_cls2 = outs[True]["scores"][outs[True]["labels"] == 2]
+    assert bic_cls2.size and bic_cls2.max() > 0.2
+    assert outs[False]["scores"].max() < 0.05
+    assert not np.array_equal(outs[True]["scores"], outs[False]["scores"])
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
