@@ -6,6 +6,8 @@ requests into the jitted predict path, amortizing device dispatch.
 
     python -m cl_object_detection_tpu.cli.serve --root_dir . --scenario 20 \
         --state 0 [--port 8500] [--cpu]
+    python -m cl_object_detection_tpu.cli.serve --from_export artifact/
+        # frozen cli.export artifact: no checkpoint tree, no model code
 
 API:
   POST /detect      body: raw JPEG/PNG bytes
