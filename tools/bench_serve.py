@@ -69,7 +69,8 @@ def pctl(xs, p):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--root_dir", required=True)
+    ap.add_argument("--root_dir", default=None,
+                    help="run dir (required unless --from_export)")
     ap.add_argument("--scenario", nargs="+", default=["20"])
     ap.add_argument("--state", type=int, default=0)
     ap.add_argument("--epoch", type=int, default=-1)
@@ -88,14 +89,24 @@ def main(argv=None):
     ap.add_argument("--dump_first", action="store_true",
                     help="print the first response's detections (parity "
                          "check between --transfer_dtype modes)")
+    ap.add_argument("--from_export", default=None,
+                    help="benchmark serving a cli.export artifact dir "
+                         "instead of a live checkpoint")
     ap.add_argument("--cpu", action="store_true")
     a = ap.parse_args(argv)
 
+    if not a.from_export and not a.root_dir:
+        ap.error("--root_dir is required unless --from_export is given")
     payload = open(a.image, "rb").read()
-    cmd = [sys.executable, "-m", "cl_object_detection_tpu.cli.serve",
-           "--root_dir", a.root_dir, "--scenario", *a.scenario,
-           "--state", str(a.state), "--epoch", str(a.epoch),
-           "--port", str(a.port), "--max_batch", str(a.max_batch)]
+    if a.from_export:
+        cmd = [sys.executable, "-m", "cl_object_detection_tpu.cli.serve",
+               "--from_export", a.from_export, "--port", str(a.port),
+               "--max_batch", str(a.max_batch)]
+    else:
+        cmd = [sys.executable, "-m", "cl_object_detection_tpu.cli.serve",
+               "--root_dir", a.root_dir, "--scenario", *a.scenario,
+               "--state", str(a.state), "--epoch", str(a.epoch),
+               "--port", str(a.port), "--max_batch", str(a.max_batch)]
     if a.transfer_dtype:
         cmd += ["--transfer_dtype", a.transfer_dtype]
     if a.cpu:
