@@ -97,6 +97,27 @@ def load_serving_bundle(
         "params": jax.tree.map(jnp.asarray, tree["params"]),
         "batch_stats": jax.tree.map(jnp.asarray, tree["batch_stats"]),
     }
+    # fail fast with a structural diff if the reconstructed architecture
+    # doesn't match the checkpoint (e.g. a --depth override or a hand-
+    # edited params.json) — otherwise the mismatch surfaces as a cryptic
+    # flax scope error at first predict. eval_shape traces without
+    # compiling, so this costs milliseconds.
+    expect = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32)))
+    want = {jax.tree_util.keystr(p) for p, _ in
+            jax.tree_util.tree_flatten_with_path(expect["params"])[0]}
+    have = {jax.tree_util.keystr(p) for p, _ in
+            jax.tree_util.tree_flatten_with_path(variables["params"])[0]}
+    if want != have:
+        missing = sorted(want - have)[:5]
+        extra = sorted(have - want)[:5]
+        raise ValueError(
+            f"checkpoint does not match the reconstructed architecture "
+            f"(ModelConfig depth={mcfg.depth}, num_classes={num_classes}): "
+            f"{len(want - have)} params missing from the checkpoint "
+            f"(e.g. {missing}), {len(have - want)} unexpected "
+            f"(e.g. {extra}) — check params.json / --depth")
     run_data = run_cfg.get("data", {})
     s2d = bool(run_data.get("s2d_stem", False))
     fused = bool(run_data.get("fused_stem", False)) and not s2d

@@ -120,6 +120,16 @@ def test_export_composes_with_quantize(run_dir):
     assert np.isfinite(out["boxes"][out["valid"]]).all()
 
 
+def test_bundle_arch_mismatch_fails_fast(run_dir):
+    """A --depth override that contradicts the checkpoint must raise an
+    informative structural error at load, not a flax scope error at first
+    predict."""
+    from cl_object_detection_tpu.eval.deploy import load_serving_bundle
+
+    with pytest.raises(ValueError, match="does not match"):
+        load_serving_bundle(run_dir, ["3"], 0, depth=50)
+
+
 def test_export_bic_without_state_errors(run_dir):
     from cl_object_detection_tpu.eval.deploy import (export_predict,
                                                      load_serving_bundle)
