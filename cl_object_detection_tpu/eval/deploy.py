@@ -226,6 +226,7 @@ def load_artifact(out_dir: str):
     dict of numpy arrays. Needs only jax.export — no model code, no
     checkpoint tree."""
     import jax
+    import numpy as np
 
     with open(os.path.join(out_dir, ARTIFACT_META)) as f:
         meta = json.load(f)
@@ -234,7 +235,6 @@ def load_artifact(out_dir: str):
     exported = jax.export.deserialize(bytearray(blob))
 
     def fn(images):
-        out = exported.call(images)
-        return {k: __import__("numpy").asarray(v) for k, v in out.items()}
+        return {k: np.asarray(v) for k, v in exported.call(images).items()}
 
     return fn, meta
