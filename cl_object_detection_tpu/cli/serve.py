@@ -78,11 +78,17 @@ def main(argv=None):
         # rides in the exported program + meta.json (eval/deploy.py)
         from ..eval.deploy import load_artifact
 
+        if a.quantize:
+            print("note: --quantize is ignored with --from_export "
+                  "(quantization bakes in at cli.export time)")
         run_predict, meta = load_artifact(a.from_export)
         depth = meta["depth"]
         dcfg = DataConfig(height=meta["height"], width=meta["width"])
         s2d, fused = bool(meta["s2d"]), bool(meta["fused"])
         uint8 = meta["transfer_dtype"] == "uint8"
+        if a.transfer_dtype != meta["transfer_dtype"]:
+            print(f"note: artifact input dtype is "
+                  f"{meta['transfer_dtype']} (--transfer_dtype ignored)")
         if a.max_batch != meta["batch"]:
             print(f"--max_batch {a.max_batch} -> {meta['batch']} "
                   f"(the artifact's static batch)")
