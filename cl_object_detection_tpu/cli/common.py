@@ -112,6 +112,10 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--enhance_error", type=str2bool, default=False)
     p.add_argument("--enhance_error_method", default="L2")
     p.add_argument("--init_method", default="mean")
+    p.add_argument("--scail", type=str2bool, default=False,
+                   help="SCAIL classifier standardization at state entry "
+                        "(rescale new-class filters to the old classes' "
+                        "ranked-mean weight profile)")
     p.add_argument("--decrease_positive", type=float, default=1.0)
     p.add_argument("--decrease_positive_by_IOU", type=str2bool, default=False)
     p.add_argument("--ignore_GD", type=str2bool, default=False)
@@ -286,6 +290,7 @@ def args_to_config(a: argparse.Namespace) -> TrainConfig:
             pseudo=PseudoLabelConfig(enabled=a.persuado_label),
             prototype=PrototypeConfig(loss=a.prototype_loss),
             init_method=a.init_method,
+            scail=a.scail,
             classifier_loss=a.classifier_loss,
             ignore_past_class=a.ignore_past_class,
             new_ignore_past_class=a.new_ignore_past_class,

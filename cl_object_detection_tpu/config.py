@@ -232,6 +232,12 @@ class ILConfig:
 
     # classifier expansion warm-start: mean | large | onlyNegative | none
     init_method: str = "mean"
+    scail: bool = False                # SCAIL classifier standardization at
+                                       # state entry: rescale the expanded
+                                       # new-class filters to the old
+                                       # classes' ranked-mean weight profile
+                                       # (completes reference IL_method/
+                                       # scail.py:7-35; il/scail.py)
     classifier_loss: bool = False      # cosine-margin old-vs-new (losses.py:491)
     classifier_loss_delta: float = 0.5
 

@@ -813,6 +813,19 @@ class ILTrainer:
             similarity=similarity,
             method=method,
         )
+        if cfg.scail and st.num_past_class > 0:
+            # SCAIL standardization (il/scail.py; completes the reference's
+            # IL_method/scail.py:7-35 stub): align the freshly expanded
+            # new-class filters' weight-magnitude profile with the old
+            # classes' ranked mean before training starts
+            from ..il.scail import standardize_new_classifier
+
+            new_params = standardize_new_classifier(
+                new_params, st.num_past_class,
+                num_anchors=self.cfg.model.num_anchors,
+            )
+            print(f"scail: standardized {st.num_new_class} new-class "
+                  "filters to the old ranked-mean profile")
         self.num_classes = st.num_knowing_class
         self.model = create_retinanet(self.cfg.model, self.num_classes)
         self._new_train_state(new_params, self.train_state.batch_stats)

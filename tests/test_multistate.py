@@ -135,3 +135,55 @@ def test_pseudo_labels_without_distill_or_mas(toy, tmp_path):
     assert trainer.cur_state == 1
     assert trainer.teacher_model is not None
     assert trainer.dataset_train.pseudo_labels is not None
+
+
+def test_scail_standardizes_expanded_classifier(toy, tmp_path):
+    """--scail: at state entry the expanded new-class filters are rescaled
+    so each new class's weight norm equals the old classes' ranked-mean
+    profile norm (il/scail.py, completing reference IL_method/scail.py)."""
+    from cl_object_detection_tpu.il.scail import ranked_mean
+    from cl_object_detection_tpu.models.expand import classifier_class_vectors
+
+    cfg = TrainConfig(
+        model=ModelConfig(depth=18, compute_dtype="float32"),
+        data=DataConfig(batch_size=2, min_side=100, max_side=192, height=128,
+                        width=192, max_boxes=8, num_workers=0, prefetch=0),
+        schedule=ScheduleConfig(lr=1e-4, every_iter=1, new_state_epoch=1),
+        il=ILConfig(scenario=("3", "2"), end_state=1, scail=True,
+                    init_method="mean"),
+        checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+        start_epoch=1, end_epoch=1, record=False,
+    )
+    trainer = ILTrainer(cfg, os.path.join(toy, "train.json"),
+                        os.path.join(toy, "images"), workdir=str(tmp_path))
+    # pre-seed the similarity sidecar: the untrained model's similarity
+    # gate zeroes out (<0.05), which would make the "mean" warm start a
+    # zero vector — and scail deliberately skips zero vectors
+    trainer.ckpt.save_array_sidecar(
+        0, "similarity",
+        [np.array([[0.6, 0.3, 0.1], [0.2, 0.5, 0.3]], np.float32)],
+    )
+
+    captured = {}
+    orig_next = trainer.next_state
+
+    def capture_next():
+        orig_next()
+        captured["params"] = jax_tree_np(trainer.train_state.params)
+
+    trainer.next_state = capture_next
+    train_process(trainer)
+
+    assert "params" in captured
+    vecs = classifier_class_vectors(captured["params"])   # (5, D)
+    old_norm = float(np.linalg.norm(ranked_mean(vecs[:3])))
+    assert old_norm > 1e-8
+    for j in (3, 4):
+        np.testing.assert_allclose(np.linalg.norm(vecs[j]), old_norm,
+                                   rtol=1e-5)
+
+
+def jax_tree_np(tree):
+    import jax
+
+    return jax.tree.map(np.asarray, tree)
