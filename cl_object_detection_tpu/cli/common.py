@@ -102,6 +102,8 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--distill_logits", type=str2bool, default=False)
     p.add_argument("--sample_num", type=int, default=0)
     p.add_argument("--sample_method", default="herd")
+    p.add_argument("--prototype_herd_mode", default="slots",
+                   choices=["slots", "classmean"])
     p.add_argument("--sample_batch_size", type=int, default=5)
     p.add_argument("--mas", type=str2bool, default=False)
     p.add_argument("--mas_ratio", type=float, default=1.0)
@@ -276,6 +278,7 @@ def args_to_config(a: argparse.Namespace) -> TrainConfig:
             replay=ReplayConfig(
                 sample_num=a.sample_num,
                 sample_method=a.sample_method,
+                prototype_herd_mode=a.prototype_herd_mode,
                 sample_batch_size=a.sample_batch_size,
                 mix_data=a.mix_data,
                 mix_data_start=a.mix_data_start,

@@ -156,6 +156,11 @@ class ReplayConfig:
     """Exemplar replay (reference dataloader.py:201-291, train.py:250-298)."""
     sample_num: int = 0                # exemplars per class; 0 = off
     sample_method: str = "herd"        # random | herd | prototype_herd
+    # prototype_herd only: "slots" = faithful per-(class, anchor-slot)
+    # ranking + slot-ordered budget split (reference
+    # IL_method/prototype.py:143-220, train/il_trainer.py:173-225);
+    # "classmean" = one ranking per class vs the slot-averaged prototype
+    prototype_herd_mode: str = "slots"
     sample_batch_size: int = 5
     mix_data: bool = False             # interleave replay into the epoch
     mix_data_start: int = 0

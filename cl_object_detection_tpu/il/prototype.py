@@ -11,8 +11,14 @@ term of ``ProtoTypeFocalLoss`` (/root/reference/retinanet/losses.py:23-250):
     slots, and push them at least ``margin`` (600) L2 away from every
     stored OLD prototype: mean(relu(margin - dist)) * weight (0.1),
     enabled after epoch 5;
-  * prototype-herd sampling (prototype.py:143-220): rank a class's images
-    by distance between the image's class feature and the prototype.
+  * prototype-herd sampling, two modes (``ReplayConfig.prototype_herd_mode``):
+    ``classmean`` ranks a class's images once by distance between the
+    image's slot-averaged class feature and the slot-averaged prototype
+    (a documented simplification, round-1/2 default); ``slots`` is the
+    faithful reference semantics (prototype.py:143-220 +
+    train/il_trainer.py:173-225): rank images per (class, anchor-slot)
+    against the per-slot prototype, order slots by positive count, and
+    distribute the per-class budget round-robin across slot ranks.
 
 Documented divergences (SURVEY.md §7 hard-part 7): the reference's
 ProtoTypeFocalLoss references an undefined ``bg_losses`` in its empty-GT
@@ -150,6 +156,124 @@ def make_image_feature_fn(model, num_classes: int, num_anchors: int = 9):
         return jax.vmap(per_image)(unfolded, boxes, labels)
 
     return step
+
+
+def make_image_slot_feature_fn(model, num_classes: int, num_anchors: int = 9):
+    """Jitted: batch -> per-image ((B, C, 9, D) per-slot class features,
+    (B, C, 9) positive counts). The per-(class, slot) mean unfolded feature
+    is what the reference ranks exemplars against (prototype.py:77-98,
+    176-190: ``feats`` is the per-image ``feat / clamp(num, 1)``)."""
+
+    @jax.jit
+    def step(variables, anchors, images, boxes, labels):
+        cls, reg, feats, unfolded = model.apply(
+            variables, images, method="classification_features"
+        )
+        B, cells, D = unfolded.shape
+
+        def per_image(feat, boxes_i, labels_i):
+            pos, a_label = positive_assignment(anchors, boxes_i, labels_i)
+            pos_cs = pos.reshape(cells, num_anchors)
+            lab_cs = a_label.reshape(cells, num_anchors)
+            onehot = jax.nn.one_hot(
+                jnp.clip(lab_cs, 0, num_classes - 1), num_classes,
+                dtype=jnp.float32,
+            ) * (pos_cs & (lab_cs >= 0))[..., None]            # (cells, 9, C)
+            sums = jnp.einsum("csk,cd->ksd", onehot, feat)     # (C, 9, D)
+            counts = jnp.sum(onehot, axis=0).T                 # (C, 9)
+            return sums / jnp.maximum(counts[..., None], 1.0), counts
+
+        return jax.vmap(per_image)(unfolded, boxes, labels)
+
+    return step
+
+
+def prototype_herd_slot_scores(
+    model, variables, anchors, dataset, data_cfg,
+    prototypes: np.ndarray,          # (C, 9, D)
+    mesh=None,
+):
+    """Faithful per-(class, anchor-slot) ranking data for ``slots`` mode
+    (prototype.py:176-217). Returns ``(scores, counts)``:
+
+      * ``scores[cls][slot] = {img_id: L2 distance}`` for images with at
+        least one positive anchor of ``cls`` in ``slot`` (the reference's
+        ``has_target_mask``/``nonzero()`` filter);
+      * ``counts`` (C, 9) float64 — total positive anchors per slot over
+        the dataset, the reference's pickled ``count`` used to rank slots.
+    """
+    from ..data.loader import BatchLoader
+    from ..ops.anchors import as_anchor_provider
+    from ..parallel.mesh import tool_placers
+
+    num_classes, num_anchors = prototypes.shape[:2]
+    put, rep = tool_placers(mesh)
+    variables = rep(variables)
+    provider = as_anchor_provider(anchors)
+    step = make_image_slot_feature_fn(model, num_classes, num_anchors)
+    scores = {c: {s: {} for s in range(num_anchors)} for c in range(num_classes)}
+    counts = np.zeros((num_classes, num_anchors), np.float64)
+    loader = BatchLoader(dataset, data_cfg, shuffle=False, augment=False)
+    seen = set()
+    for batch in loader:
+        feat, cnt = step(
+            variables,
+            rep(jnp.asarray(provider(batch.images))),
+            put(batch.images), put(batch.boxes), put(batch.labels),
+        )
+        feat, cnt = np.asarray(feat), np.asarray(cnt)  # (B,C,9,D),(B,C,9)
+        for b, img_id in enumerate(batch.image_ids.tolist()):
+            if img_id in seen:
+                continue
+            seen.add(img_id)
+            counts += cnt[b]
+            for c, s in zip(*np.nonzero(cnt[b])):
+                scores[int(c)][int(s)][img_id] = float(
+                    np.linalg.norm(feat[b, c, s] - prototypes[c, s])
+                )
+    return scores, counts
+
+
+def sample_by_slot_scores(
+    scores, counts: np.ndarray, per_num: int, classes,
+    already: Optional[List[int]] = None,
+    exclude: Optional[set] = None,
+    num_anchors: int = 9,
+) -> Dict[int, List[int]]:
+    """The reference's slot-ordered pick distribution
+    (train/il_trainer.py:197-223): the per-class budget ``per_num`` is
+    split round-robin over slot *ranks* (rank = slots sorted by positive
+    count, descending); each rank takes its share closest-first from that
+    slot's list, skipping already-taken and excluded (future-class)
+    images. ``classes`` restricts to the state's new classes (the only
+    ones ``cal_examplar`` writes, prototype.py:209)."""
+    taken = set(already or [])
+    exclude = exclude or set()
+    share = [0] * num_anchors
+    i = 0
+    for _ in range(per_num):
+        share[i] += 1
+        i = (i + 1) % num_anchors
+    out: Dict[int, List[int]] = {}
+    for cls in classes:
+        ranked = np.argsort(-counts[cls], kind="stable")
+        picked: List[int] = []
+        for idx, slot in enumerate(ranked):
+            need = share[idx]
+            if need == 0:
+                continue
+            slot_scores = scores[cls][int(slot)]
+            for img_id in sorted(slot_scores, key=slot_scores.get):
+                if img_id in taken or img_id in exclude:
+                    continue
+                picked.append(img_id)
+                taken.add(img_id)
+                need -= 1
+                if need == 0:
+                    break
+        if picked:
+            out[cls] = picked
+    return out
 
 
 def prototype_herd_scores(

@@ -39,7 +39,9 @@ from ..il.mas import compute_importance
 from ..il.prototype import (
     compute_prototype_features,
     prototype_herd_scores,
+    prototype_herd_slot_scores,
     sample_by_scores,
+    sample_by_slot_scores,
 )
 from ..il.pseudo_label import generate_pseudo_labels
 from ..il.weight_init import compute_similarity
@@ -526,15 +528,7 @@ class ILTrainer:
         elif cfg.sample_method == "prototype_herd":
             assert self.prototype_features is not None
             prev_ds = self._prev_state_dataset(prev)
-            scores = prototype_herd_scores(
-                self.model, self.variables(), self.anchors_for, prev_ds,
-                self.cfg.data, self.prototype_features, mesh=self.mesh,
-            )
             future = set(self._future_img_ids())
-            scores = {
-                c: {i: s for i, s in d.items() if i not in future}
-                for c, d in scores.items()
-            }
             # exemplars ACCUMULATE across states like the herding path
             # (reference keeps every past state's sample files,
             # il_trainer.py:173-225): the newest scores only cover the
@@ -542,8 +536,29 @@ class ILTrainer:
             # persist or the oldest classes silently lose replay coverage
             if not hasattr(self, "_proto_exemplars"):
                 self._proto_exemplars: List[int] = []
-            picked = sample_by_scores(scores, cfg.sample_num,
-                                      already=self._proto_exemplars)
+            if cfg.prototype_herd_mode == "slots":
+                slot_scores, counts = prototype_herd_slot_scores(
+                    self.model, self.variables(), self.anchors_for, prev_ds,
+                    self.cfg.data, self.prototype_features, mesh=self.mesh,
+                )
+                st = self.states[prev]
+                picked = sample_by_slot_scores(
+                    slot_scores, counts, cfg.sample_num,
+                    classes=range(st.num_past_class, st.num_knowing_class),
+                    already=self._proto_exemplars, exclude=future,
+                    num_anchors=self.prototype_features.shape[1],
+                )
+            else:
+                scores = prototype_herd_scores(
+                    self.model, self.variables(), self.anchors_for, prev_ds,
+                    self.cfg.data, self.prototype_features, mesh=self.mesh,
+                )
+                scores = {
+                    c: {i: s for i, s in d.items() if i not in future}
+                    for c, d in scores.items()
+                }
+                picked = sample_by_scores(scores, cfg.sample_num,
+                                          already=self._proto_exemplars)
             self._proto_exemplars.extend(
                 i for lst in picked.values() for i in lst)
             self.dataset_replay.reset_explicit(

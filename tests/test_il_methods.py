@@ -130,6 +130,60 @@ def test_prototype_loss_margin():
     assert float(loss_far) == 0.0  # far outside the margin
 
 
+def test_sample_by_slot_scores_reference_semantics():
+    """Hand-computed fixture of the reference pick distribution
+    (train/il_trainer.py:197-223): budget split round-robin over slot
+    RANKS (count-descending), each rank takes closest-first from its
+    slot, skipping taken/excluded images globally."""
+    from cl_object_detection_tpu.il.prototype import sample_by_slot_scores
+
+    A = 3  # 3 anchor slots for a readable fixture
+    # class 0: slot counts [5, 9, 1] -> rank order slots [1, 0, 2]
+    counts = np.array([[5.0, 9.0, 1.0],
+                       [2.0, 1.0, 3.0]])
+    scores = {
+        0: {0: {10: 0.3, 11: 0.1},          # slot 0 closest-first: 11, 10
+            1: {12: 0.5, 13: 0.2, 10: 0.4},  # slot 1: 13, 10, 12
+            2: {14: 0.9}},
+        1: {0: {20: 0.1}, 1: {}, 2: {21: 0.2, 12: 0.1}},
+    }
+    # per_num=4 over 3 slots -> shares by rank [2, 1, 1]
+    out = sample_by_slot_scores(scores, counts, per_num=4, classes=[0, 1],
+                                num_anchors=A)
+    # class 0: rank0=slot1 takes 13,10; rank1=slot0 takes 11 (10 taken);
+    # rank2=slot2 takes 14
+    assert out[0] == [13, 10, 11, 14]
+    # class 1: rank order slots [2, 0, 1]; image 12 is still free (class
+    # 0's slot-1 budget stopped at 13,10), so slot2 takes 12, 21;
+    # rank1=slot0 takes 20; rank2=slot1 is empty
+    assert out[1] == [12, 21, 20]
+
+    # exclusion (future-class images) and already-taken are honored
+    out2 = sample_by_slot_scores(scores, counts, per_num=4, classes=[0],
+                                 already=[13], exclude={14}, num_anchors=A)
+    # slot1 (rank0) takes 10, 12 (13 already taken); slot0 takes 11;
+    # slot2's only image 14 is excluded -> short pick
+    assert out2[0] == [10, 12, 11]
+
+
+def test_slot_scores_match_classmean_reduction(rng=np.random.default_rng(0)):
+    """The slot-ranking data and the classmean path must agree on WHICH
+    images carry a class: an image appears in some slot of
+    scores[cls] iff it has a positive of cls (counts row nonzero)."""
+    from cl_object_detection_tpu.il.prototype import (
+        sample_by_scores, sample_by_slot_scores)
+
+    # degenerate single-slot case: slots mode must reduce to classmean
+    # ordering (one slot holds all images -> closest-first per class)
+    imgs = {100: 0.4, 101: 0.1, 102: 0.3}
+    slot_scores = {0: {0: dict(imgs)}}
+    counts = np.array([[3.0]])
+    out_slots = sample_by_slot_scores(slot_scores, counts, per_num=2,
+                                      classes=[0], num_anchors=1)
+    out_mean = sample_by_scores({0: dict(imgs)}, per_num=2)
+    assert out_slots[0] == out_mean[0] == [101, 102]
+
+
 def test_anchor_provider_orientation_regression():
     """IL tool passes must hand portrait batches portrait-grid anchors.
 
