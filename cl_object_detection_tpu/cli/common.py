@@ -91,6 +91,13 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
                         "(view in TensorBoard/Perfetto)")
     p.add_argument("--debug", type=str2bool, default=False)
     p.add_argument("--val", type=str2bool, default=False)
+    p.add_argument("--torch_ckpt", default=None,
+                   help="seed from a reference .pt checkpoint: weights "
+                        "always; Adam moments + scheduler LR on a "
+                        "same-state resume (--start_epoch > 1)")
+    p.add_argument("--trust_torch_ckpt", action="store_true",
+                   help="permit full unpickling of --torch_ckpt (needed "
+                        "for scheduler state; executes code in the file)")
     # warm up
     p.add_argument("--warm_stage", type=int, default=0)
     p.add_argument("--warm_epoch", type=int, nargs="*", default=[10, 10])
@@ -321,6 +328,8 @@ def args_to_config(a: argparse.Namespace) -> TrainConfig:
         debug=a.debug,
         val_after_train=a.val,
         output_examplar=a.output_examplar,
+        torch_ckpt=getattr(a, "torch_ckpt", None),
+        trust_torch_ckpt=getattr(a, "trust_torch_ckpt", False),
     )
 
 

@@ -42,10 +42,9 @@ def get_parser():
     parser.add_argument("--just_val", type=str2bool, default=False)
     parser.add_argument("--ignore_other_img", type=str2bool, default=False)
     parser.add_argument("--save_upper_bound", type=str2bool, default=False)
-    parser.add_argument("--torch_ckpt", default=None,
-                        help="evaluate a REFERENCE-trained .pt checkpoint "
-                             "(or its .npz conversion) instead of an Orbax "
-                             "checkpoint tree")
+    # --torch_ckpt comes from add_train_flags; here it means "evaluate a
+    # REFERENCE-trained .pt (or its .npz conversion) instead of an Orbax
+    # checkpoint tree"
     return parser
 
 

@@ -354,6 +354,13 @@ class TrainConfig:
     debug: bool = False
     val_after_train: bool = False
     output_examplar: bool = True
+    # reference-experiment interop: seed this run from a reference .pt
+    # checkpoint (params.py:307-322) — weights always; Adam moments +
+    # scheduler LR too on a same-state resume (start_epoch > 1,
+    # main.py:70-71). trust_torch_ckpt permits full unpickling (the
+    # scheduler state needs it), which executes code in the file.
+    torch_ckpt: Optional[str] = None
+    trust_torch_ckpt: bool = False
 
     # ------------------------------------------------------------------
     def replace(self, **kw) -> "TrainConfig":

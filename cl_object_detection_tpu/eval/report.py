@@ -37,10 +37,35 @@ def save_upper_bound(path: str, result: EvalResult) -> None:
 
 
 def load_upper_bound(path: str) -> Optional[Dict]:
-    if not os.path.exists(path):
+    """Load ``upper_bound.json``; when absent, fall back to a reference
+    ``upper_bound.pickle`` beside it (/root/reference/evaluator.py:91-92:
+    ``{cat: {'ap': x, 'recall': y}}``), normalized to the JSON schema —
+    so a reference experiment dir's decline reports continue here
+    unchanged. NB: unpickling executes code in the file; the fallback
+    only fires for the exact sibling filename inside the user's own
+    ``val_result`` dir."""
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    ref_path = os.path.join(os.path.dirname(path), "upper_bound.pickle")
+    if not os.path.exists(ref_path):
         return None
-    with open(path) as f:
-        return json.load(f)
+    import pickle
+
+    with open(ref_path, "rb") as f:
+        raw = pickle.load(f)
+    data = {
+        str(name): {"ap": float(v["ap"]), "recall": float(v["recall"])}
+        for name, v in raw.items()
+        if isinstance(v, dict) and "ap" in v
+    }
+    if data:  # the reference pickle has no mean/pred_ratio rows
+        data["mean"] = {
+            "ap": sum(v["ap"] for v in data.values()) / len(data),
+            "recall": sum(v["recall"] for v in data.values()) / len(data),
+        }
+        data["pred_ratio"] = 0.0
+    return data or None
 
 
 def decline_csv(

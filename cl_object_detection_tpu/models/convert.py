@@ -279,3 +279,181 @@ def load_reference_checkpoint(
     print(f"reference checkpoint: loaded {loaded} tensors, "
           f"skipped {len(skipped)}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Optimizer / scheduler state interop (continue a reference experiment here)
+# ---------------------------------------------------------------------------
+
+_BUFFER_SUFFIXES = ("running_mean", "running_var", "num_batches_tracked")
+
+
+def _torch_param_names(model_state_dict_keys) -> list:
+    """Parameter names in registration order = ``named_parameters()`` order
+    (state_dict keys minus the BN buffers — the only buffers the reference
+    model registers)."""
+    return [k for k in model_state_dict_keys
+            if not k.endswith(_BUFFER_SUFFIXES)]
+
+
+def _index_to_name(ckp: Dict) -> Dict[int, str]:
+    """Reference Adam global param index -> torch parameter name.
+
+    The reference builds Adam over two groups (main.py:57-59,
+    il_trainer.py:309-311): group 0 = every parameter whose name does not
+    contain 'classificationModel.output' (WHITE_LIST_FOR_OPTIM,
+    il_trainer.py:29-43, yielded in named_parameters order), group 1 =
+    classificationModel.output.{weight,bias}. torch assigns global state
+    indices over the concatenation of the groups' param lists; the saved
+    ``param_groups[g]['params']`` records them, so we zip those index
+    lists against the name lists reconstructed from model_state_dict."""
+    names = _torch_param_names(ckp["model_state_dict"].keys())
+    g0 = [n for n in names if "classificationModel.output" not in n]
+    g1 = [n for n in names if "classificationModel.output" in n]
+    groups = ckp["optimizer_state_dict"]["param_groups"]
+    if len(groups) != 2 or [len(g["params"]) for g in groups] != [len(g0), len(g1)]:
+        raise ValueError(
+            "optimizer_state_dict param_groups do not match the reference's "
+            "two-group Adam layout (main.py:57-59): got "
+            f"{[len(g['params']) for g in groups]} params per group vs "
+            f"model-derived {[len(g0), len(g1)]}"
+        )
+    out = {}
+    for idx_list, name_list in zip((groups[0]["params"], groups[1]["params"]),
+                                   (g0, g1)):
+        out.update(dict(zip(idx_list, name_list)))
+    return out
+
+
+def _graft_adam_moments(opt_state, full_mu, full_nu, count):
+    """Replace every ScaleByAdamState's (mu, nu, count) in an optax state
+    tree, preserving MaskedNode placeholders (multi_transform masks each
+    group's moments to its own leaves)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    def is_masked(x):
+        return isinstance(x, optax.MaskedNode)
+
+    def graft_tree(masked_tree, full_tree):
+        return jax.tree.map(
+            lambda m, v: m if is_masked(m) else jnp.asarray(
+                np.asarray(v), jnp.asarray(m).dtype),
+            masked_tree, full_tree, is_leaf=is_masked,
+        )
+
+    def rec(node):
+        if hasattr(node, "_fields"):
+            if {"count", "mu", "nu"} <= set(node._fields):
+                return node._replace(
+                    count=jnp.asarray(count, jnp.asarray(node.count).dtype),
+                    mu=graft_tree(node.mu, full_mu),
+                    nu=graft_tree(node.nu, full_nu),
+                )
+            return node._replace(**{f: rec(getattr(node, f))
+                                    for f in node._fields})
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        if isinstance(node, (tuple, list)):
+            return type(node)(rec(v) for v in node)
+        return node
+
+    return rec(opt_state)
+
+
+def load_reference_optimizer(
+    opt_state, params, path: str, allow_pickle: bool = False
+):
+    """Import a reference ``.pt`` checkpoint's Adam moments and scheduler
+    LR into an optax state built by ``train.optim.make_optimizer``, so a
+    half-finished reference experiment resumes here with its optimizer
+    memory intact (reference save format:
+    /root/reference/preprocessing/params.py:307-322).
+
+    Returns ``(new_opt_state, info)`` where info carries ``step`` (Adam
+    step count), ``last_lr`` (scheduler's current LR, None if no
+    scheduler state), and ``loaded``/``skipped`` tensor counts. Raises if
+    the file has no ``optimizer_state_dict``.
+
+    Mapping: torch ``exp_avg``/``exp_avg_sq`` -> optax ``mu``/``nu``
+    (identical Adam semantics incl. bias correction by step count); conv
+    moments transpose OIHW -> HWIO like the weights themselves.
+    """
+    import jax
+    import torch
+
+    try:
+        ckp = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # MultiStepLR state_dicts hold a collections.Counter, which the
+        # weights_only allowlist can reject — same opt-in as model loads
+        if not allow_pickle:
+            raise ValueError(
+                f"{path} needs full unpickling (scheduler state); pass "
+                "allow_pickle=True / --trust_torch_ckpt if you trust it"
+            )
+        ckp = torch.load(path, map_location="cpu", weights_only=False)
+    if "optimizer_state_dict" not in ckp:
+        raise ValueError(f"{path} has no optimizer_state_dict "
+                         "(model-only checkpoint?)")
+
+    idx_to_name = _index_to_name(ckp)
+    flat_params = jax.tree_util.tree_flatten_with_path(params)
+    # flax path tuple -> leaf position, for shape checks
+    leaves = {tuple(getattr(k, "key", str(k)) for k in kp): v
+              for kp, v in flat_params[0]}
+
+    full_mu = jax.tree.map(np.zeros_like, jax.tree.map(np.asarray, params))
+    full_nu = jax.tree.map(np.zeros_like, full_mu)
+    loaded, skipped = 0, []
+    steps = [0]
+    for idx, st in ckp["optimizer_state_dict"]["state"].items():
+        name = idx_to_name.get(int(idx))
+        if name is None:
+            skipped.append(str(idx))
+            continue
+        try:
+            path_parts, pname, collection = _map_full_key(name)
+        except KeyError:
+            skipped.append(name)
+            continue
+        if collection != "params":
+            skipped.append(name)   # BN stats never carry Adam state here
+            continue
+        key = path_parts + (pname,)
+        if key not in leaves:
+            skipped.append(name)
+            continue
+        steps.append(int(st["step"]))
+        for src, dst in (("exp_avg", full_mu), ("exp_avg_sq", full_nu)):
+            arr = np.asarray(st[src])
+            if arr.ndim == 4:
+                arr = arr.transpose(2, 3, 1, 0)   # OIHW -> HWIO
+            node = dst
+            for p in path_parts:
+                node = node[p]
+            if node[pname].shape != arr.shape:
+                raise ValueError(
+                    f"optimizer moment shape mismatch for {name}: "
+                    f"{arr.shape} vs {node[pname].shape}"
+                )
+            node[pname] = arr
+        loaded += 1
+
+    count = max(steps)
+    new_state = _graft_adam_moments(opt_state, full_mu, full_nu, count)
+
+    last_lr = None
+    sched = ckp.get("scheduler_state_dict")
+    if sched and sched.get("_last_lr"):
+        last_lr = float(sched["_last_lr"][0])
+        from ..train.optim import set_learning_rate
+
+        new_state = set_learning_rate(new_state, last_lr)
+
+    print(f"reference optimizer: grafted {loaded} moment pairs "
+          f"(step {count}), skipped {len(skipped)}"
+          + (f", lr {last_lr}" if last_lr is not None else ""))
+    return new_state, {"step": count, "last_lr": last_lr,
+                       "loaded": loaded, "skipped": skipped}

@@ -153,10 +153,16 @@ class ILTrainer:
         # k at epoch 1 starts from state k-1's newest checkpoint with the
         # PREVIOUS class count, then expands
         start_epoch = cfg.start_epoch or 1
+        # reference-experiment interop (main.py:69-71): an explicit
+        # --torch_ckpt replaces the native checkpoint as the resume
+        # source — prev-state weights on a state entry, same-state
+        # weights + Adam moments + scheduler LR on a mid-state resume
+        ref_ckpt = cfg.torch_ckpt
         cross_state = (
             self.cur_state >= 1
             and start_epoch == 1
-            and self.ckpt.latest_epoch(self.cur_state - 1) is not None
+            and (ref_ckpt is not None
+                 or self.ckpt.latest_epoch(self.cur_state - 1) is not None)
         )
         init_classes = (
             self.states[self.cur_state - 1].num_knowing_class
@@ -167,12 +173,24 @@ class ILTrainer:
         self.model = create_retinanet(cfg.model, init_classes)
         rng = jax.random.PRNGKey(cfg.seed)
         variables = self.model.init(rng, jnp.zeros((1, min(h, 256), min(w, 256), 3)))
-        if cross_state:
+        if cross_state and ref_ckpt:
+            from ..models.convert import load_reference_checkpoint
+
+            variables = load_reference_checkpoint(
+                variables, ref_ckpt, allow_pickle=cfg.trust_torch_ckpt)
+        elif cross_state:
             tree, _ = self.ckpt.restore(self.cur_state - 1, -1)
             variables = {
                 "params": jax.tree.map(jnp.asarray, tree["params"]),
                 "batch_stats": jax.tree.map(jnp.asarray, tree["batch_stats"]),
             }
+        elif ref_ckpt:
+            # same-state seed/resume from a reference checkpoint: the
+            # optimizer graft happens after _new_train_state below
+            from ..models.convert import load_reference_checkpoint
+
+            variables = load_reference_checkpoint(
+                variables, ref_ckpt, allow_pickle=cfg.trust_torch_ckpt)
         elif (
             start_epoch > 1
             and self.ckpt.nearest_epoch(self.cur_state, start_epoch - 1)
@@ -194,6 +212,21 @@ class ILTrainer:
 
             variables = load_pretrained_backbone(variables, cfg.model.pretrained)
         self._new_train_state(variables["params"], variables["batch_stats"])
+        if ref_ckpt and not cross_state and start_epoch > 1:
+            # mid-state resume continues the reference run's optimizer
+            # (main.py:70-71 loads optimizer+scheduler only on same-state
+            # resume; state entry rebuilds Adam, il_trainer.py:308-312)
+            from ..models.convert import load_reference_optimizer
+
+            try:
+                new_opt, _info = load_reference_optimizer(
+                    self.train_state.opt_state, self.train_state.params,
+                    ref_ckpt, allow_pickle=cfg.trust_torch_ckpt,
+                )
+                self.train_state = self.train_state.replace(opt_state=new_opt)
+            except ValueError as e:
+                print(f"warning: optimizer state not imported ({e}); "
+                      "continuing with fresh Adam moments")
 
         # CL tools ------------------------------------------------------
         self.teacher_model = None

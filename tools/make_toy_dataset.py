@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--height", type=int, default=240)
     ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--style", default="legacy",
+                    choices=["legacy", "separable"],
+                    help="separable = unique hue x pattern per class, "
+                         "low-overlap placements (for absolute-mAP runs)")
     args = ap.parse_args()
 
     for split, n, seed in (("train", args.train, args.seed),
@@ -38,6 +42,7 @@ def main() -> None:
         path = make_toy_dataset(
             args.out, num_images=n, classes=args.classes,
             image_size=(args.height, args.width), seed=seed, split=split,
+            style=args.style,
         )
         print(f"{split}: {n} images -> {path}")
 
