@@ -23,7 +23,7 @@ from typing import Any, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.pool_pallas import phase_pool  # XLA oracle for the s2d stem pool
+from ..ops.pool import phase_pool  # shift-only s2d stem pool
 
 DEPTH_LAYERS = {
     18: ("basic", (2, 2, 2, 2)),
@@ -188,20 +188,12 @@ class Bottleneck(nn.Module):
         return nn.relu(out + residual)
 
 
-def _stem_pool(x: jnp.ndarray, use_pallas: bool) -> jnp.ndarray:
+def _stem_pool(x: jnp.ndarray) -> jnp.ndarray:
     """3x3/2 pad-1 max-pool after the stem conv (reference model.py:284).
 
-    On TPU, XLA's reduce_window for this overlapping window runs at ~20%
-    of HBM bandwidth; the Pallas kernel (ops/pool_pallas.py, bit-exact,
-    custom-VJP'd) recovers most of it. Falls back to XLA off-TPU or for
-    odd shapes (canonical shapes are even)."""
-    import jax
-
-    if (use_pallas and jax.default_backend() == "tpu"
-            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
-        from ..ops.pool_pallas import max_pool_3x3_s2_diff
-
-        return max_pool_3x3_s2_diff(x)
+    Plain XLA reduce_window: bit-exact Pallas pool kernels were built and
+    benched in r1/r2 but measured strictly slower on this runtime (README
+    "Measured stem dead ends"; removed in r3 — git history has them)."""
     return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
 
@@ -234,16 +226,6 @@ class ResNetBackbone(nn.Module):
     depth: int = 50
     dtype: Any = jnp.float32
     remat: bool = False   # rematerialize residual blocks (trade FLOPs for HBM)
-    pallas_pool: bool = False  # Pallas stem max-pool (ops/pool_pallas.py):
-                               # bit-exact but LOSES to XLA's fused
-                               # reduce_window on the axon runtime (~30us
-                               # fixed cost per grid program dominates a
-                               # bandwidth-bound kernel); kept for BENCH
-                               # use only (tools/bench_backbone, direct
-                               # ResNetBackbone construction) — deliberately
-                               # NOT exposed via ModelConfig/create_retinanet
-                               # because it measured strictly slower
-                               # (README "Measured stem dead ends")
     input_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     input_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
@@ -276,18 +258,11 @@ class ResNetBackbone(nn.Module):
             y4 = StemConv(self.dtype, name="conv1")(
                 x, bn_scale=bn_scale, bn_bias=bn_bias)
             y4 = nn.relu(y4)
-            import jax
-
-            if self.pallas_pool and jax.default_backend() == "tpu":
-                from ..ops.pool_pallas import phase_max_pool_diff
-
-                x = phase_max_pool_diff(y4)
-            else:
-                x = phase_pool(y4)
+            x = phase_pool(y4)
         else:
             x = StemConv(self.dtype, name="conv1")(x)
             x = nn.relu(FrozenBN(self.dtype, name="bn1")(x))
-            x = _stem_pool(x, self.pallas_pool)
+            x = _stem_pool(x)
 
         outs = []
         planes = (64, 128, 256, 512)

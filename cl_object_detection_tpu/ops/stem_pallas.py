@@ -26,7 +26,7 @@ How it works:
   apply on the f32 accumulator tile.
 * The 3x3/2 pool never touches HBM: on the phase-packed y4 tile it is a
   shift-only max over channel blocks (same factoring as
-  ops.pool_pallas.phase_pool), emitted per band with a 1-row halo.
+  ops.pool.phase_pool), emitted per band with a 1-row halo.
 
 Autodiff: ``stem_fused`` is a custom-VJP op — Pallas forward on TPU, and
 a backward through the pure-XLA reference (`stem_fused_reference`), whose
@@ -42,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from .pool_pallas import phase_pool
+from .pool import phase_pool
 
 NEG = float("-inf")
 
