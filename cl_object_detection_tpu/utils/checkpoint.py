@@ -129,10 +129,14 @@ class CheckpointManager:
         """
         self.wait()
         path = self.epoch_dir(state, epoch)
-        if not _is_primary():
-            if not async_save:
-                self._barrier("ckpt_save")   # pair with the primary's
-            return path
+        if jax.process_count() > 1:
+            # orbax's save synchronizes ALL processes internally
+            # (sync_global_devices('Checkpointer:save_start') — a
+            # primary-only call deadlocks the slice, found by
+            # tests/test_multihost.py's real two-process run), and that
+            # barrier cannot fire from a background thread while other
+            # hosts run ahead — multi-host saves degrade to synchronous.
+            async_save = False
         tree = {
             "params": train_state.params,
             "batch_stats": train_state.batch_stats,
@@ -141,15 +145,21 @@ class CheckpointManager:
         }
         if not async_save:
             stage = path + ".tmp_sync"
-            if os.path.exists(stage):
+            if _is_primary() and os.path.exists(stage):
                 shutil.rmtree(stage)
-            ocp.PyTreeCheckpointer().save(stage, jax.tree.map(np.asarray, tree))
-            if il_meta is not None:
-                with open(os.path.join(stage, "il_meta.json"), "w") as f:
-                    json.dump(il_meta, f, indent=2, default=_jsonable)
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            os.rename(stage, path)
+            if _is_primary() or jax.process_count() > 1:
+                # every process participates (orbax coordinates the
+                # write internally: process 0 writes, the rest sync);
+                # only process 0 below mutates the visible directory
+                ocp.PyTreeCheckpointer().save(
+                    stage, jax.tree.map(np.asarray, tree))
+            if _is_primary():
+                if il_meta is not None:
+                    with open(os.path.join(stage, "il_meta.json"), "w") as f:
+                        json.dump(il_meta, f, indent=2, default=_jsonable)
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+                os.rename(stage, path)
             self._barrier("ckpt_save")
             return path
 

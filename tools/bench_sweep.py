@@ -19,7 +19,10 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def run(batch, stem="rgb", iters=20, H=608, W=832, depth=50):
+V5E_BF16_PEAK = 197e12  # same peak bench_train.py's train MFU uses
+
+
+def run(batch, stem="rgb", iters=20, H=608, W=832, depth=50, want_mfu=False):
     import jax, jax.numpy as jnp
     from cl_object_detection_tpu.config import ModelConfig, PredictConfig
     from cl_object_detection_tpu.models import create_retinanet
@@ -42,8 +45,25 @@ def run(batch, stem="rgb", iters=20, H=608, W=832, depth=50):
         from cl_object_detection_tpu.data.transforms import space_to_depth
 
         images = space_to_depth(images, factor=4)
-    dt = time_chained(predict_sum, jnp.asarray(images), iters=iters, reps=3)
-    return batch * iters / dt
+    images = jnp.asarray(images)
+    dt = time_chained(predict_sum, images, iters=iters, reps=3)
+    img_per_s = batch * iters / dt
+    mfu = None
+    if want_mfu:
+        # XLA's own cost analysis of the single-batch predict program
+        # (fwd + decode + NMS), same source as bench_train.py's train MFU.
+        try:
+            ca = (jax.jit(predict_sum)
+                  .lower(images, variables).compile().cost_analysis())
+            if hasattr(ca, "get"):  # newer jax returns a dict, older a list
+                flops = float(ca.get("flops", 0.0))
+            else:
+                flops = float(ca[0].get("flops", 0.0))
+            if flops:
+                mfu = (flops / batch) * img_per_s / V5E_BF16_PEAK
+        except Exception:
+            pass
+    return img_per_s, mfu
 
 
 if __name__ == "__main__":
@@ -52,9 +72,14 @@ if __name__ == "__main__":
     ap.add_argument("--depth", type=int, default=50,
                     help="backbone depth (18/34/50/101/152) — model-family "
                          "scaling rows for the README")
+    ap.add_argument("--mfu", action="store_true",
+                    help="also report inference MFU from XLA cost analysis")
     ap.add_argument("batch", type=int, nargs="*", default=[8, 16, 32])
     a = ap.parse_args()
     for b in a.batch:
-        print(json.dumps({"batch": b, "stem": a.stem, "depth": a.depth,
-                          "img_per_s": round(run(b, a.stem, depth=a.depth),
-                                             2)}), flush=True)
+        img_per_s, mfu = run(b, a.stem, depth=a.depth, want_mfu=a.mfu)
+        row = {"batch": b, "stem": a.stem, "depth": a.depth,
+               "img_per_s": round(img_per_s, 2)}
+        if mfu is not None:
+            row["mfu"] = round(mfu, 4)
+        print(json.dumps(row), flush=True)
