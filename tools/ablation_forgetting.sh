@@ -11,6 +11,13 @@
 # isolate exactly what the CL methods buy. This is the reference's core
 # scientific claim (/root/reference/README; BASELINE configs 3/5) run as
 # one reproducible script.
+#
+# STYLE=separable (default) uses the hue-x-pattern toy classes so the
+# operating point is a checkpoint that actually detects (mAP50 >= 0.5);
+# STYLE=legacy reproduces the earlier confusable-class table.
+# VARIANTS=1 additionally runs two single-knob A/Bs off the same state-0:
+# full+SCAIL (--scail true) and full with the classmean herd ranking
+# (--prototype_herd_mode classmean) — the VERDICT r2 #3/#6 measurements.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -18,13 +25,15 @@ ROOT=${1:-/tmp/cl_ablate}
 E0=${2:-40}      # state-0 epochs (shared)
 E1=${3:-40}      # state-1 epochs
 EJ=${4:-60}      # joint epochs
+STYLE=${STYLE:-separable}
+VARIANTS=${VARIANTS:-0}
 COMMON_SHAPE=(--image_height 256 --image_width 320 --min_side 240 --max_side 320)
 CLASSES=(); for i in $(seq -w 0 19); do CLASSES+=("cls$i"); done
 rm -rf "$ROOT"; mkdir -p "$ROOT"
 
-echo "=== 0/5 toy dataset (20 classes)"
+echo "=== 0/5 toy dataset (20 classes, style=$STYLE)"
 python tools/make_toy_dataset.py --out "$ROOT/data" --train 160 --test 60 \
-    --classes "${CLASSES[@]}"
+    --style "$STYLE" --classes "${CLASSES[@]}"
 
 echo "=== 1/5 joint scenario 20 (upper bound, $EJ epochs)"
 python -m cl_object_detection_tpu.cli.train \
@@ -45,7 +54,9 @@ python -m cl_object_detection_tpu.cli.train \
     --batch_size 8 --lr 3e-4 --every_iter 1 --record false --save_every 20 \
     "${COMMON_SHAPE[@]}"
 
-for variant in naive full; do
+ALL_VARIANTS=(naive full)
+if [ "$VARIANTS" = "1" ]; then ALL_VARIANTS+=(scail classmean); fi
+for variant in "${ALL_VARIANTS[@]}"; do
     mkdir -p "$ROOT/$variant/checkpoint/10_10" "$ROOT/$variant/val_result"
     cp -r "$ROOT/base/checkpoint/10_10/state0" "$ROOT/$variant/checkpoint/10_10/"
     cp "$ROOT/joint/val_result/upper_bound.json" "$ROOT/$variant/val_result/"
@@ -66,19 +77,30 @@ python -m cl_object_detection_tpu.cli.validate \
     "${COMMON_SHAPE[@]}"
 
 echo "=== 4/5 state 1 FULL battery"
-python -m cl_object_detection_tpu.cli.train \
-    --root_dir "$ROOT/full" --dataset "$ROOT/data" \
-    --scenario 10 10 --start_state 1 --end_state 1 \
-    --new_state_epoch "$E1" --depth 50 --pretrained false \
-    --batch_size 8 --lr 2e-4 --every_iter 1 --record false --save_every 20 \
-    --distill true --sample_num 2 --sample_method herd \
-    --persuado_label true --mas true --agem true --agem_refresh_every 4 \
-    --bic true --bic_ratio 0.4 --init_method mean \
-    "${COMMON_SHAPE[@]}"
-python -m cl_object_detection_tpu.cli.validate \
-    --root_dir "$ROOT/full" --dataset "$ROOT/data" \
-    --scenario 10 10 --state 1 --epoch "$E1" --bic true \
-    "${COMMON_SHAPE[@]}"
+FULL_FLAGS=(--distill true --sample_num 2 --sample_method herd
+            --persuado_label true --mas true --agem true --agem_refresh_every 4
+            --bic true --bic_ratio 0.4 --init_method mean)
+run_state1() {  # run_state1 <dir> <extra flags...>
+    local dir="$1"; shift
+    python -m cl_object_detection_tpu.cli.train \
+        --root_dir "$ROOT/$dir" --dataset "$ROOT/data" \
+        --scenario 10 10 --start_state 1 --end_state 1 \
+        --new_state_epoch "$E1" --depth 50 --pretrained false \
+        --batch_size 8 --lr 2e-4 --every_iter 1 --record false --save_every 20 \
+        "${FULL_FLAGS[@]}" "$@" "${COMMON_SHAPE[@]}"
+    python -m cl_object_detection_tpu.cli.validate \
+        --root_dir "$ROOT/$dir" --dataset "$ROOT/data" \
+        --scenario 10 10 --state 1 --epoch "$E1" --bic true \
+        "${COMMON_SHAPE[@]}"
+}
+run_state1 full
+
+if [ "$VARIANTS" = "1" ]; then
+    echo "=== 4b. full battery + SCAIL standardization"
+    run_state1 scail --scail true
+    echo "=== 4c. full battery, classmean herd ranking"
+    run_state1 classmean --prototype_herd_mode classmean
+fi
 
 echo "=== 5/5 summary (old = cls00-09, new = cls10-19)"
 python - "$ROOT" "$E1" "$EJ" <<'EOF'
@@ -97,7 +119,9 @@ print(f"{'run':<22}{'old mAP50':>10}{'new mAP50':>10}{'all':>8}")
 jp = f"{root}/joint/val_result/20/state0/val_result_{ej}.csv"
 o, n, a = summary(jp); print(f"{'joint-20 (upper)':<22}{o:>10.3f}{n:>10.3f}{a:>8.3f}")
 for tag, pat in [("10+10 naive", f"{root}/naive/val_result/10_10/state1/val_result_{e1}.csv"),
-                 ("10+10 full battery", f"{root}/full/val_result/10_10/state1/val_result_{e1}_bic.csv")]:
+                 ("10+10 full battery", f"{root}/full/val_result/10_10/state1/val_result_{e1}_bic.csv"),
+                 ("10+10 full+scail", f"{root}/scail/val_result/10_10/state1/val_result_{e1}_bic.csv"),
+                 ("10+10 full classmean", f"{root}/classmean/val_result/10_10/state1/val_result_{e1}_bic.csv")]:
     m = glob.glob(pat)
     if m:
         o, n, a = summary(m[0]); print(f"{tag:<22}{o:>10.3f}{n:>10.3f}{a:>8.3f}")
