@@ -20,28 +20,44 @@ import time
 import numpy as np
 
 
-def _wait_for_device(tries: int = 6, probe_timeout: int = 180) -> None:
+def _wait_for_device(budget_s: float = 480.0, probe_timeout: int = 120) -> bool:
     """A killed device-waiting process wedges the axon TPU claim for
     minutes (it self-recovers); a hung jnp call is NOT interruptible from
     Python (blocked in native code), so probe from a SUBPROCESS with a
     hard timeout and only proceed once a trivial matmul completes — the
-    one benched JSON line then survives a recently-interrupted run."""
+    one benched JSON line then survives a recently-interrupted run.
+
+    The whole recovery loop is bounded by ``budget_s`` (default 8 min,
+    overridable via BENCH_PROBE_BUDGET_S) so a wedged claim can never eat
+    the driver's window and exit rc=124 with zero output, as happened in
+    round 3 (BENCH_r03.json). Returns True if the device answered; on
+    False the caller still attempts the bench and, failing that, prints a
+    structured {"error": ...} JSON line."""
     import subprocess
     import sys
 
     probe = ("import jax.numpy as jnp; "
              "x = jnp.ones((256, 256), jnp.bfloat16); "
              "print(float((x @ x).sum()))")
-    for attempt in range(tries):
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        timeout = min(probe_timeout, max(5.0, deadline - time.monotonic()))
         try:
-            subprocess.run([sys.executable, "-c", probe], timeout=probe_timeout,
+            subprocess.run([sys.executable, "-c", probe], timeout=timeout,
                            check=True, stdout=subprocess.DEVNULL,
                            stderr=subprocess.DEVNULL)
-            return
+            return True
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-            print(f"# device probe failed (attempt {attempt + 1}/{tries}); "
-                  "waiting for the TPU claim to recover", flush=True)
-            time.sleep(60)
+            remaining = deadline - time.monotonic()
+            print(f"# device probe failed (attempt {attempt}, "
+                  f"{remaining:.0f}s of probe budget left)", flush=True)
+            if remaining < 45:
+                print("# probe budget exhausted; attempting the bench anyway",
+                      flush=True)
+                return False
+            time.sleep(30)
 
 
 def main():
@@ -130,5 +146,17 @@ if __name__ == "__main__":
     import os
 
     if os.environ.get("BENCH_SMOKE") != "1":
-        _wait_for_device()
-    main()
+        _wait_for_device(
+            budget_s=float(os.environ.get("BENCH_PROBE_BUDGET_S", "480")))
+    try:
+        main()
+    except Exception as exc:  # guarantee ONE parseable JSON line, always
+        print(json.dumps({
+            "metric": "retinanet_r50_608x832_fused_stem_infer_images"
+                      "_per_sec_per_chip",
+            "error": f"{type(exc).__name__}: {exc}"[:300],
+            "value": None,
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+        }))
+        raise SystemExit(1)
