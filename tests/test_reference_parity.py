@@ -675,3 +675,276 @@ def test_il_replay_path_parity(ref_cpu):
         assert k in ref, k
         np.testing.assert_allclose(float(ours[k]), ref[k], rtol=5e-5,
                                    atol=1e-6, err_msg=k)
+
+
+# ===========================================================================
+# (e) full train-step parity: same weights + same batches -> backward +
+#     grad-accumulate + clip + Adam in BOTH frameworks (reference iteration
+#     semantics at /root/reference/train/train.py:15-80, optimizer groups at
+#     main.py:57-59) — the training-TRAJECTORY layer of the parity stack.
+# ===========================================================================
+
+TS_CLASSES = 6
+TS_LR = 1e-5
+TS_EVERY = 2
+
+
+def _ts_batch(seed):
+    rng = np.random.RandomState(seed)
+    images = rng.randn(2, H, W, 3).astype(np.float32) * 0.8
+    boxes = np.full((2, 5, 4), -1.0, np.float32)
+    labels = np.full((2, 5), -1, np.int64)
+    for b in range(2):
+        for i in range(rng.randint(1, 4)):
+            x1, y1 = rng.uniform(0, W - 30), rng.uniform(0, H - 30)
+            bw, bh = rng.uniform(10, 28), rng.uniform(10, 28)
+            boxes[b, i] = [x1, y1, x1 + bw, y1 + bh]
+            labels[b, i] = rng.randint(0, TS_CLASSES)
+    annots = np.concatenate([boxes, labels[..., None].astype(np.float32)], -1)
+    return images, boxes, labels, annots
+
+
+@pytest.fixture(scope="module")
+def train_step_models(tmp_path_factory):
+    """R18 pair with ONE weight set (convert interop path), mildly spread
+    head outputs so gradients are non-degenerate."""
+    import jax
+    import jax.numpy as jnp
+
+    # torch.optim lazily imports _dynamo, whose `str | torch.device`
+    # annotations explode under ref_cpu's torch.device monkeypatch —
+    # import it while torch.device is still real
+    import torch._dynamo  # noqa: F401
+
+    from cl_object_detection_tpu.models.convert import load_reference_checkpoint
+    from cl_object_detection_tpu.models.retinanet import RetinaNet
+
+    torch.manual_seed(0)
+    tm = ref_model.create_retinanet(18, num_classes=TS_CLASSES, pretrained=False)
+    with torch.no_grad():
+        torch.manual_seed(1)
+        tm.classificationModel.output.weight.normal_(0.0, 2e-5)
+        tm.classificationModel.output.bias.normal_(-3.6, 0.5)
+        tm.regressionModel.output.weight.normal_(0.0, 1e-5)
+        tm.regressionModel.output.bias.normal_(0.0, 0.05)
+    path = str(tmp_path_factory.mktemp("ts_parity") / "ref18.pt")
+    torch.save(tm.state_dict(), path)
+
+    jm = RetinaNet(depth=18, num_classes=TS_CLASSES, dtype=jnp.float32)
+    variables = jm.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
+    variables = load_reference_checkpoint(variables, path, strict=True)
+    return tm, jm, variables
+
+
+def _torch_tensors_as_tree(named_tensors, params_template):
+    """{torch param name -> tensor} dict -> our flax params tree, with the
+    same OIHW->HWIO transposition the checkpoint converter applies."""
+    import jax
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.models.convert import _map_full_key
+
+    tree = jax.tree.map(lambda x: None, params_template)
+    filled = 0
+    for name, t in named_tensors.items():
+        path_parts, pname, collection = _map_full_key(name)
+        if collection != "params":
+            continue
+        g = t.detach().numpy()
+        if g.ndim == 4:
+            g = g.transpose(2, 3, 1, 0)
+        node = tree
+        for part in path_parts:
+            node = node[part]
+        assert node[pname] is None, f"double-filled {name}"
+        node[pname] = jnp.asarray(g)
+        filled += 1
+    # tree_leaves drops surviving None leaves, so a count mismatch catches
+    # any our-side param the torch model didn't cover
+    expected = len(jax.tree_util.tree_leaves(params_template))
+    got = len(jax.tree_util.tree_leaves(tree))
+    assert got == expected == filled, (got, expected, filled)
+    return tree
+
+
+def _run_reference_train_step(tm, batches):
+    """The reference's exact iteration semantics on the plain (state-0)
+    path: per micro-batch loss = mean(bg)+mean(fg)+mean(reg) scaled by
+    1/every_iter, accumulate backward, then clip 0.1 -> Adam step
+    (train.py:48-72; two Adam groups, main.py:57-59)."""
+    # two Adam groups, main.py:57-59: group 1 = everything except the
+    # classifier output (WHITE_LIST_FOR_OPTIM + get_parameters,
+    # il_trainer.py:29-43 — importing il_trainer pulls pycocotools, absent
+    # here, so the 4-line filter is inlined), group 2 = the output conv
+    white_list = ["classificationModel.output"]
+    group1 = [p for n, p in tm.named_parameters()
+              if not any(w in n for w in white_list)]
+    tm.train()
+    tm.freeze_bn()
+    opt = torch.optim.Adam(
+        [{"params": group1},
+         {"params": tm.classificationModel.output.parameters()}],
+        lr=TS_LR,
+    )
+    opt.zero_grad(set_to_none=True)
+    states = [dict(num_past_class=0)]
+    params = RefParams(states)
+    losses, micro_grads = [], []
+    for images, annots in batches:
+        timg = torch.tensor(images.transpose(0, 3, 1, 2))
+        cls, reg, anchors_t = tm(timg, return_feat=False, return_anchor=True,
+                                 enable_act=True)
+        out = ref_losses.FocalLoss()(cls, reg, anchors_t,
+                                     torch.tensor(annots), 0, params)
+        bg, fg = out["cls_loss"]
+        loss = bg.mean() + fg.mean() + out["reg_loss"].mean()
+        losses.append(float(loss.detach()))
+        (loss / TS_EVERY).backward()
+        micro_grads.append({n: p.grad.detach().clone()
+                            for n, p in tm.named_parameters()})
+    acc_grads = {n: p.grad.detach().clone() for n, p in tm.named_parameters()}
+    total_norm = float(torch.nn.utils.clip_grad_norm_(tm.parameters(), 0.1))
+    opt.step()
+    new_params = {n: p.detach().clone() for n, p in tm.named_parameters()}
+    return losses, micro_grads, acc_grads, total_norm, new_params
+
+
+def test_train_step_parity(train_step_models, ref_cpu):
+    """Same weights + same two micro-batches -> the gradient, the clip
+    coefficient, and the Adam-updated parameters agree across frameworks.
+
+    Decomposed into (1) loss parity, (2) per-tensor gradient parity at
+    conv-numerics tolerance, (3) optimizer exactness: the reference's own
+    accumulated gradient pushed through OUR clip+Adam reproduces torch's
+    updated params to ~1e-8, and (4) end-to-end param agreement after our
+    full jitted accumulate->clip->Adam step."""
+    import jax
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.config import (
+        FocalConfig,
+        ILConfig,
+        ScheduleConfig,
+    )
+    from cl_object_detection_tpu.il.losses import LossStatics
+    from cl_object_detection_tpu.ops.anchors import anchors_for_shape
+    from cl_object_detection_tpu.train.optim import make_optimizer
+    from cl_object_detection_tpu.train.state import TrainState
+    from cl_object_detection_tpu.train.step import (
+        StepStatics,
+        _clip_by_global_norm,
+        make_train_step,
+    )
+
+    tm, jm, variables = train_step_models
+    bA, bB = _ts_batch(31), _ts_batch(32)
+
+    ref_losses_v, ref_micro, ref_acc, ref_norm, ref_new = (
+        _run_reference_train_step(tm, [(bA[0], bA[3]), (bB[0], bB[3])])
+    )
+
+    # ---- ours: the real jitted step, every_iter=2 (trainer wiring:
+    # make_optimizer(use_clip=False) + StepStatics clip, trainer.py:262)
+    sched = ScheduleConfig(lr=TS_LR, every_iter=TS_EVERY)
+    tx = make_optimizer(sched, variables["params"], use_clip=False)
+    state = TrainState.create(
+        params=variables["params"], batch_stats=variables["batch_stats"], tx=tx
+    )
+    params0 = jax.tree.map(np.asarray, state.params)
+    anchors = jnp.asarray(anchors_for_shape(H, W))
+    step = make_train_step(
+        jm, None, anchors, ILConfig(), FocalConfig(),
+        LossStatics(num_classes=TS_CLASSES),
+        StepStatics(every_iter=TS_EVERY, use_clip=True, grad_clip=0.1),
+        donate=False,
+    )
+    state1, mA = step(state, jnp.asarray(bA[0]), jnp.asarray(bA[1]),
+                      jnp.asarray(bA[2]))
+    our_acc_half = jax.tree.map(lambda g: np.asarray(g) / TS_EVERY,
+                                state1.grad_acc)  # == torch grad after bwd A
+    state2, mB = step(state1, jnp.asarray(bB[0]), jnp.asarray(bB[1]),
+                      jnp.asarray(bB[2]))
+
+    # (1) loss parity per micro-batch
+    for m, ref_l in zip([mA, mB], ref_losses_v):
+        ours_l = float(m["cls_bg_loss"] + m["cls_fg_loss"] + m["reg_loss"])
+        np.testing.assert_allclose(ours_l, ref_l, rtol=2e-3, atol=1e-4)
+
+    from cl_object_detection_tpu.models.convert import _map_full_key
+
+    # (2) per-tensor gradient parity (micro-batch A): cosine + norm ratio
+    # at conv-backward numerics tolerance
+    for name, tg in ref_micro[0].items():
+        path_parts, pname, collection = _map_full_key(name)
+        if collection != "params":
+            continue
+        node = our_acc_half
+        for part in path_parts:
+            node = node[part]
+        og = np.asarray(node[pname], np.float64).reshape(-1)
+        rg = tg.numpy().astype(np.float64)
+        if rg.ndim == 4:
+            rg = rg.transpose(2, 3, 1, 0)
+        rg = rg.reshape(-1)
+        rn, on = np.linalg.norm(rg), np.linalg.norm(og)
+        if rn < 1e-12 and on < 1e-12:
+            continue
+        cos = float(og @ rg / max(on * rn, 1e-30))
+        assert cos > 0.999, f"{name}: grad cosine {cos}"
+        assert abs(on / rn - 1.0) < 5e-3, f"{name}: norm ratio {on / rn}"
+
+    # (3) optimizer exactness: torch's OWN pre-clip accumulated gradient
+    # through OUR clip + Adam == torch's updated params, elementwise
+    # (isolates clip+optimizer semantics from conv numerics)
+    ref_g_tree = _torch_tensors_as_tree(ref_acc, state.params)
+    g = _clip_by_global_norm(ref_g_tree, 0.1)
+    updates, _ = state.tx.update(g, state.opt_state, state.params)
+    ours_new = jax.tree.map(jnp.add, state.params, updates)
+
+    checked = 0
+    for name, rp in ref_new.items():
+        path_parts, pname, collection = _map_full_key(name)
+        if collection != "params":
+            continue
+        node_new, node_old = ours_new, params0
+        for part in path_parts:
+            node_new, node_old = node_new[part], node_old[part]
+        ours_delta = np.asarray(node_new[pname]) - node_old[pname]
+        rp = rp.numpy()
+        if rp.ndim == 4:
+            rp = rp.transpose(2, 3, 1, 0)
+        ref_delta = rp - node_old[pname]
+        np.testing.assert_allclose(ours_delta, ref_delta, rtol=0, atol=5e-8,
+                                   err_msg=f"adam update mismatch: {name}")
+        checked += 1
+    assert checked > 50
+
+    # mapping completeness + clip input: the mapped tree's global norm IS
+    # the norm torch's clip_grad_norm_ saw
+    mapped_norm = float(np.sqrt(sum(
+        float(np.sum(np.square(np.asarray(l))))
+        for l in jax.tree.leaves(ref_g_tree)
+    )))
+    np.testing.assert_allclose(mapped_norm, ref_norm, rtol=1e-5)
+
+    # (4) end-to-end: our fully-jitted 2-micro-step state vs torch params.
+    # Single-step Adam updates are bounded by lr, and elements whose
+    # gradient is at the conv-noise floor can flip the update sign, so the
+    # elementwise bound is 2*lr + slack; the overwhelming majority must
+    # agree far tighter.
+    diffs = []
+    for name, rp in ref_new.items():
+        path_parts, pname, collection = _map_full_key(name)
+        if collection != "params":
+            continue
+        node = state2.params
+        for part in path_parts:
+            node = node[part]
+        rp = rp.numpy()
+        if rp.ndim == 4:
+            rp = rp.transpose(2, 3, 1, 0)
+        diffs.append((np.abs(np.asarray(node[pname]) - rp)).reshape(-1))
+    diffs = np.concatenate(diffs)
+    assert diffs.max() <= 2.0 * TS_LR + 1e-7, float(diffs.max())
+    agree = float(np.mean(diffs < 1e-6))
+    assert agree > 0.99, f"only {agree:.4%} of params agree to 1e-6"
