@@ -16,6 +16,35 @@ jax.config.update("jax_num_cpu_devices", 8)
 import numpy as np
 import pytest
 
+# Test tiers (markers declared in pyproject.toml): per-file classification
+# so CI / future rounds can spot-verify in minutes instead of the ~25-min
+# full suite on this 1-core box. `pytest -m quick` = fast unit tier;
+# `-m mesh` = the 3-6-min multi-device files; `-m parity` = the
+# reference-torch-as-oracle files; `-m slow` = subprocess/e2e integration.
+_MESH_FILES = {
+    "test_mesh_train", "test_tool_sharding", "test_multihost",
+    "test_sharding",
+}
+_PARITY_FILES = {"test_reference_parity", "test_reference_interop"}
+_SLOW_FILES = {
+    "test_integration", "test_multistate", "test_deploy", "test_serve",
+    "test_cli_e2e", "test_tools_cli",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = item.fspath.purebasename
+        if name in _MESH_FILES:
+            item.add_marker(pytest.mark.mesh)
+        elif name in _PARITY_FILES:
+            item.add_marker(pytest.mark.parity)
+        elif name in _SLOW_FILES:
+            if not item.get_closest_marker("slow"):
+                item.add_marker(pytest.mark.slow)
+        elif not item.get_closest_marker("slow"):
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture(scope="session")
 def rng():
