@@ -27,7 +27,10 @@ def bench(kind: str, k: int, iters: int) -> float:
     import jax.numpy as jnp
 
     from cl_object_detection_tpu.ops.nms import nms_iterative, nms_padded
-    from cl_object_detection_tpu.ops.nms_pallas import nms_pallas
+    from cl_object_detection_tpu.ops.nms_pallas import (
+        nms_pallas,
+        nms_pallas_batched,
+    )
 
     rng = np.random.RandomState(0)
     # plausible candidate stream: clustered boxes, descending scores
@@ -39,6 +42,7 @@ def bench(kind: str, k: int, iters: int) -> float:
 
     fn = {
         "pallas": nms_pallas,
+        "pallas_fp": lambda b, s, t: nms_pallas_batched(b[None], s[None], t)[0],
         "iterative": nms_iterative,
         "xla_loop": nms_padded,
     }[kind]
@@ -68,7 +72,10 @@ def bench_batched(kind: str, k: int, batch: int, iters: int) -> float:
     import jax.numpy as jnp
 
     from cl_object_detection_tpu.ops.nms import nms_iterative, nms_padded
-    from cl_object_detection_tpu.ops.nms_pallas import nms_pallas
+    from cl_object_detection_tpu.ops.nms_pallas import (
+        nms_pallas,
+        nms_pallas_batched,
+    )
 
     rng = np.random.RandomState(0)
     centers = rng.rand(batch, k, 2) * [1024, 640]
@@ -82,6 +89,8 @@ def bench_batched(kind: str, k: int, batch: int, iters: int) -> float:
     if kind == "pallas":
         def fn(b, s):  # trace-time unroll (vmap-of-pallas stalls Mosaic)
             return jnp.stack([nms_pallas(b[i], s[i], 0.5) for i in range(batch)])
+    elif kind == "pallas_fp":
+        fn = lambda b, s: nms_pallas_batched(b, s, 0.5)
     else:
         inner = nms_iterative if kind == "iterative" else nms_padded
         fn = jax.vmap(lambda b, s: inner(b, s, 0.5))
@@ -113,7 +122,8 @@ def main():
     import jax
 
     on_tpu = jax.default_backend() != "cpu"
-    kinds = ["pallas", "iterative", "xla_loop"] if on_tpu else ["iterative", "xla_loop"]
+    kinds = (["pallas", "pallas_fp", "iterative", "xla_loop"] if on_tpu
+             else ["iterative", "xla_loop"])
     for kind in kinds:
         ms = bench(kind, args.k, args.iters) * 1e3
         print(
