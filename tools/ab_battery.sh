@@ -17,13 +17,19 @@ SCENARIO=()
 while [ "$1" != "--" ]; do SCENARIO+=("$1"); shift; done
 shift; STATE=$1; EPOCH=$2
 
-run() {  # run <tag> <flags...>
+run() {  # run <tag> <flags...> — a failed/wedged row (Pallas remote-
+    # compile occasionally hangs) must not kill the remaining rows
     local tag=$1; shift
     echo "=== $tag"
-    python -m cl_object_detection_tpu.cli.validate \
-        --root_dir "$ROOT" --dataset "$DATA" --scenario "${SCENARIO[@]}" \
-        --state "$STATE" --epoch "$EPOCH" "$@" \
-        | grep -E "mAP50|epoch" | tail -2 | sed "s/^/[$tag] /"
+    local out
+    if out=$(timeout 1200 python -m cl_object_detection_tpu.cli.validate \
+            --root_dir "$ROOT" --dataset "$DATA" --scenario "${SCENARIO[@]}" \
+            --state "$STATE" --epoch "$EPOCH" "$@" 2>&1); then
+        echo "$out" | grep -E "mAP50|epoch" | tail -2 | sed "s/^/[$tag] /" \
+            || echo "[$tag] NO mAP LINE IN OUTPUT"
+    else
+        echo "[$tag] FAILED (rc=$?)"; echo "$out" | tail -5 | sed "s/^/[$tag] /"
+    fi
 }
 
 run "608x832 exact rgb"    --shape_buckets 608x832 --topk_method exact

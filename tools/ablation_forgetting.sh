@@ -29,24 +29,31 @@ STYLE=${STYLE:-separable}
 VARIANTS=${VARIANTS:-0}
 COMMON_SHAPE=(--image_height 256 --image_width 320 --min_side 240 --max_side 320)
 CLASSES=(); for i in $(seq -w 0 19); do CLASSES+=("cls$i"); done
-rm -rf "$ROOT"; mkdir -p "$ROOT"
+# RESUME=1 keeps $ROOT and skips any phase whose terminal artifact exists
+# (a wedged remote compile mid-battery must not force a full ~2h restart)
+if [ "${RESUME:-0}" != "1" ]; then rm -rf "$ROOT"; fi
+mkdir -p "$ROOT"
 
 echo "=== 0/5 toy dataset (20 classes, style=$STYLE)"
+[ -f "$ROOT/data/train.json" ] || \
 python tools/make_toy_dataset.py --out "$ROOT/data" --train 160 --test 60 \
     --style "$STYLE" --classes "${CLASSES[@]}"
 
 echo "=== 1/5 joint scenario 20 (upper bound, $EJ epochs)"
+[ -d "$ROOT/joint/checkpoint/20/state0/epoch${EJ}" ] || \
 python -m cl_object_detection_tpu.cli.train \
     --root_dir "$ROOT/joint" --dataset "$ROOT/data" \
     --scenario 20 --end_epoch "$EJ" --depth 50 --pretrained false \
     --batch_size 8 --lr 3e-4 --every_iter 1 --record false --save_every 20 \
     "${COMMON_SHAPE[@]}"
+[ -f "$ROOT/joint/val_result/upper_bound.json" ] || \
 python -m cl_object_detection_tpu.cli.validate \
     --root_dir "$ROOT/joint" --dataset "$ROOT/data" \
     --scenario 20 --state 0 --epoch "$EJ" --save_upper_bound true \
     "${COMMON_SHAPE[@]}"
 
 echo "=== 2/5 shared state 0 (first 10 classes, $E0 epochs)"
+[ -d "$ROOT/base/checkpoint/10_10/state0/epoch${E0}" ] || \
 python -m cl_object_detection_tpu.cli.train \
     --root_dir "$ROOT/base" --dataset "$ROOT/data" \
     --scenario 10 10 --start_state 0 --end_state 0 \
@@ -57,12 +64,14 @@ python -m cl_object_detection_tpu.cli.train \
 ALL_VARIANTS=(naive full)
 if [ "$VARIANTS" = "1" ]; then ALL_VARIANTS+=(scail classmean); fi
 for variant in "${ALL_VARIANTS[@]}"; do
+    [ -d "$ROOT/$variant/checkpoint/10_10/state0" ] && continue
     mkdir -p "$ROOT/$variant/checkpoint/10_10" "$ROOT/$variant/val_result"
     cp -r "$ROOT/base/checkpoint/10_10/state0" "$ROOT/$variant/checkpoint/10_10/"
     cp "$ROOT/joint/val_result/upper_bound.json" "$ROOT/$variant/val_result/"
 done
 
 echo "=== 3/5 state 1 NAIVE (no IL method)"
+[ -d "$ROOT/naive/checkpoint/10_10/state1/epoch${E1}" ] || \
 python -m cl_object_detection_tpu.cli.train \
     --root_dir "$ROOT/naive" --dataset "$ROOT/data" \
     --scenario 10 10 --start_state 1 --end_state 1 \
@@ -71,6 +80,7 @@ python -m cl_object_detection_tpu.cli.train \
     --distill false --mas false --agem false --bic false \
     --persuado_label false --sample_num 0 \
     "${COMMON_SHAPE[@]}"
+[ -f "$ROOT/naive/val_result/10_10/state1/val_result_${E1}.csv" ] || \
 python -m cl_object_detection_tpu.cli.validate \
     --root_dir "$ROOT/naive" --dataset "$ROOT/data" \
     --scenario 10 10 --state 1 --epoch "$E1" \
@@ -82,12 +92,14 @@ FULL_FLAGS=(--distill true --sample_num 2 --sample_method herd
             --bic true --bic_ratio 0.4 --init_method mean)
 run_state1() {  # run_state1 <dir> <extra flags...>
     local dir="$1"; shift
+    [ -d "$ROOT/$dir/checkpoint/10_10/state1/epoch${E1}" ] || \
     python -m cl_object_detection_tpu.cli.train \
         --root_dir "$ROOT/$dir" --dataset "$ROOT/data" \
         --scenario 10 10 --start_state 1 --end_state 1 \
         --new_state_epoch "$E1" --depth 50 --pretrained false \
         --batch_size 8 --lr 2e-4 --every_iter 1 --record false --save_every 20 \
         "${FULL_FLAGS[@]}" "$@" "${COMMON_SHAPE[@]}"
+    [ -f "$ROOT/$dir/val_result/10_10/state1/val_result_${E1}_bic.csv" ] || \
     python -m cl_object_detection_tpu.cli.validate \
         --root_dir "$ROOT/$dir" --dataset "$ROOT/data" \
         --scenario 10 10 --state 1 --epoch "$E1" --bic true \
