@@ -30,6 +30,13 @@ _SLOW_FILES = {
     "test_integration", "test_multistate", "test_deploy", "test_serve",
     "test_cli_e2e", "test_tools_cli",
 }
+# whole-model jit-compile-heavy unit files (measured 25-330 s each on the
+# 1-core CPU box): real units, but too slow for the quick tier
+_COMPILE_FILES = {
+    "test_train_step", "test_quant", "test_model", "test_benchlib",
+    "test_il_methods", "test_checkpoint", "test_eval_dedup",
+    "test_stem_fused",
+}
 
 
 def pytest_collection_modifyitems(config, items):
@@ -39,6 +46,8 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.mesh)
         elif name in _PARITY_FILES:
             item.add_marker(pytest.mark.parity)
+        elif name in _COMPILE_FILES:
+            item.add_marker(pytest.mark.compile)
         elif name in _SLOW_FILES:
             if not item.get_closest_marker("slow"):
                 item.add_marker(pytest.mark.slow)
