@@ -75,6 +75,14 @@ def _tv_batched_nms(boxes, scores, idxs, iou_threshold):
 
 def _install_torchvision_stub():
     if "torchvision" in sys.modules:
+        # another test module may have installed an import-only dummy whose
+        # nms returns zero keeps (test_reference_interop) — overwrite with
+        # the functional NMS. The reference calls these as module
+        # attributes (model.py:540, persuado_label.py:116), so patching
+        # the module object reaches already-imported reference code too.
+        sys.modules["torchvision"].ops.nms = _tv_nms
+        sys.modules["torchvision"].ops.batched_nms = _tv_batched_nms
+        sys.modules["torchvision.ops"] = sys.modules["torchvision"].ops
         return
     tv = types.ModuleType("torchvision")
     ops = types.ModuleType("torchvision.ops")
@@ -771,7 +779,13 @@ def _run_reference_train_step(tm, batches):
     """The reference's exact iteration semantics on the plain (state-0)
     path: per micro-batch loss = mean(bg)+mean(fg)+mean(reg) scaled by
     1/every_iter, accumulate backward, then clip 0.1 -> Adam step
-    (train.py:48-72; two Adam groups, main.py:57-59)."""
+    (train.py:48-72; two Adam groups, main.py:57-59).
+
+    Works on a COPY: opt.step() must not mutate the module-scoped
+    fixture's model out from under later tests."""
+    import copy
+
+    tm = copy.deepcopy(tm)
     # two Adam groups, main.py:57-59: group 1 = everything except the
     # classifier output (WHITE_LIST_FOR_OPTIM + get_parameters,
     # il_trainer.py:29-43 — importing il_trainer pulls pycocotools, absent
