@@ -32,23 +32,25 @@ phase() {  # phase <name> <artifact> <timeout_s> <cmd...>
     fi
 }
 
-# 1. health: a tiny device matmul, retried — a wedged TPU claim recovers
-#    on its own in minutes (CLAUDE.md), so wait rather than abort.
-health() {
-    for i in 1 2 3; do
-        if timeout 300 python - <<'EOF'
+# 1. health: ONE long-lived matmul probe that sits waiting for the device
+#    claim. Kill-retry loops are counterproductive here: killing a
+#    device-waiting process can re-wedge the claim (CLAUDE.md), which is
+#    exactly the r3 rc=124 death spiral. A single patient process attaches
+#    the moment the claim frees. Budget: $HEALTH_BUDGET_S (default 2h) —
+#    if the device never comes back, later phases are skipped, not
+#    ground through their own timeouts.
+HEALTH_BUDGET_S=${HEALTH_BUDGET_S:-7200}
+if [ ! -f "$OUT/health.ok" ]; then
+    if timeout "$HEALTH_BUDGET_S" python - >"$OUT/health.log" 2>&1 <<'EOF'
 import jax, jax.numpy as jnp
 x = jnp.ones((256, 256), jnp.bfloat16)
-print("health ok", float((x @ x).sum()), jax.devices())
+print("health ok", float((x @ x).sum()), jax.devices(), flush=True)
 EOF
-        then return 0; fi
-        echo "# health attempt $i failed; sleeping 120s"; sleep 120
-    done
-    echo "# device unhealthy after 3 probes — proceeding anyway"
-}
-if [ ! -s "$OUT/health.ok" ]; then
-    health 2>&1 | tee "$OUT/health.log"
-    grep -q "health ok" "$OUT/health.log" && touch "$OUT/health.ok"
+    then touch "$OUT/health.ok"; cat "$OUT/health.log"
+    else
+        echo "== device unreachable after ${HEALTH_BUDGET_S}s — aborting campaign"
+        exit 3
+    fi
 fi
 
 # 2. backward-gap attribution at the benched operating point
