@@ -20,44 +20,43 @@ import time
 import numpy as np
 
 
-def _wait_for_device(budget_s: float = 480.0, probe_timeout: int = 120) -> bool:
+def _wait_for_device(budget_s: float = 480.0) -> bool:
     """A killed device-waiting process wedges the axon TPU claim for
     minutes (it self-recovers); a hung jnp call is NOT interruptible from
     Python (blocked in native code), so probe from a SUBPROCESS with a
     hard timeout and only proceed once a trivial matmul completes — the
     one benched JSON line then survives a recently-interrupted run.
 
-    The whole recovery loop is bounded by ``budget_s`` (default 8 min,
-    overridable via BENCH_PROBE_BUDGET_S) so a wedged claim can never eat
-    the driver's window and exit rc=124 with zero output, as happened in
-    round 3 (BENCH_r03.json). Returns True if the device answered; on
-    False the caller still attempts the bench and, failing that, prints a
-    structured {"error": ...} JSON line."""
+    The probe is ONE patient subprocess holding the full ``budget_s``
+    (default 8 min, overridable via BENCH_PROBE_BUDGET_S): killing a
+    device-waiting process is itself what re-wedges the claim, so a
+    kill-retry loop (the round-3 shape) actively prolongs the outage,
+    while a single waiting process attaches the moment the claim frees.
+    Returns True if the device answered; on False (budget elapsed, probe
+    killed once) the caller still attempts the bench and, failing that,
+    prints a structured {"error": ...} JSON line."""
     import subprocess
     import sys
 
     probe = ("import jax.numpy as jnp; "
              "x = jnp.ones((256, 256), jnp.bfloat16); "
              "print(float((x @ x).sum()))")
-    deadline = time.monotonic() + budget_s
-    attempt = 0
-    while True:
-        attempt += 1
-        timeout = min(probe_timeout, max(5.0, deadline - time.monotonic()))
-        try:
-            subprocess.run([sys.executable, "-c", probe], timeout=timeout,
-                           check=True, stdout=subprocess.DEVNULL,
-                           stderr=subprocess.DEVNULL)
-            return True
-        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-            remaining = deadline - time.monotonic()
-            print(f"# device probe failed (attempt {attempt}, "
-                  f"{remaining:.0f}s of probe budget left)", flush=True)
-            if remaining < 45:
-                print("# probe budget exhausted; attempting the bench anyway",
-                      flush=True)
-                return False
-            time.sleep(30)
+    t0 = time.monotonic()
+    try:
+        subprocess.run([sys.executable, "-c", probe], timeout=budget_s,
+                       check=True, stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL)
+        print(f"# device probe ok after {time.monotonic() - t0:.0f}s",
+              flush=True)
+        return True
+    except subprocess.CalledProcessError:
+        print("# device probe errored; attempting the bench anyway",
+              flush=True)
+        return False
+    except subprocess.TimeoutExpired:
+        print(f"# device probe still waiting after {budget_s:.0f}s budget; "
+              "attempting the bench anyway", flush=True)
+        return False
 
 
 def main():
