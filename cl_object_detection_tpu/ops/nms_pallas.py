@@ -143,7 +143,7 @@ def _nms_fp_kernel(iou_thresh: float, boxes_ref, scores_ref, keep_ref,
     (1,k)x(k,k) MXU matvecs until the fixed point. Batch = grid axis, one
     program per image, so Pallas pipelines the per-image box/score DMAs.
     """
-    k = scores_ref.shape[1]
+    k = scores_ref.shape[2]
     boxes = boxes_ref[0]                  # (4, k)
     x1 = boxes[0:1, :]
     y1 = boxes[1:2, :]
@@ -171,7 +171,7 @@ def _nms_fp_kernel(iou_thresh: float, boxes_ref, scores_ref, keep_ref,
             (inter > iou_thresh * union) & (row < col)
         ).astype(jnp.float32)
 
-    valid = (scores_ref[0:1, :] > 0.0).astype(jnp.float32)
+    valid = (scores_ref[0] > 0.0).astype(jnp.float32)      # (1, k)
 
     def matvec(keep):
         sup = jax.lax.dot_general(
@@ -192,7 +192,7 @@ def _nms_fp_kernel(iou_thresh: float, boxes_ref, scores_ref, keep_ref,
     _, keep, _ = jax.lax.while_loop(
         cond, body, (valid, matvec(valid), jnp.int32(1))
     )
-    keep_ref[0:1, :] = keep
+    keep_ref[0] = keep
 
 
 @functools.partial(jax.jit, static_argnames=("iou_thresh", "interpret"))
@@ -208,23 +208,29 @@ def nms_pallas_batched(
     if k % ROW_BLOCK:
         raise ValueError(f"k={k} must be a multiple of {ROW_BLOCK}")
     boxes_t = jnp.transpose(boxes.astype(jnp.float32), (0, 2, 1))  # (B, 4, k)
-    scores_f = scores.astype(jnp.float32)
+    # Mosaic requires a block's last two dims to be (8, 128)-divisible OR
+    # equal to the array's — a (1, k) block of a (B, k) array violates the
+    # sublane rule, so scores/keep carry a unit middle axis: block
+    # (1, 1, k) of (B, 1, k) has last-two == array dims. (Interpret mode
+    # doesn't check this; the real backend does.)
+    scores_f = scores.astype(jnp.float32)[:, None, :]              # (B, 1, k)
 
     keep = pl.pallas_call(
         functools.partial(_nms_fp_kernel, iou_thresh),
         grid=(b,),
-        out_shape=jax.ShapeDtypeStruct((b, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 1, k), jnp.float32),
         in_specs=[
             pl.BlockSpec((1, 4, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, k), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((k, k), jnp.float32)],
         interpret=interpret,
     )(boxes_t, scores_f)
-    return keep > 0.5
+    return keep[:, 0, :] > 0.5
 
 
 @functools.partial(jax.jit, static_argnames=("iou_thresh", "interpret"))
