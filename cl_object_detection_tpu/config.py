@@ -276,10 +276,14 @@ class PredictConfig:
     max_detections: int = 300          # static output capacity
     use_pallas_nms: bool = True        # fused TPU kernel (auto-off on CPU)
     nms_impl: str = "iterative"        # "iterative" (fixed-point matvec,
-                                       # fastest single AND batched on v5e:
-                                       # 0.95 ms vs 1.03 pallas / 1.69 loop
-                                       # at k=1024; b16 batched 1.5 ms vs
-                                       # 3.3 / 3.7) | "pallas" | "scan"
+                                       # default: 0.54 ms single / 1.22 ms
+                                       # per B16 at k=1024 on v5e, and e2e
+                                       # == pallas_fp) | "pallas_fp" (ONE
+                                       # Pallas kernel for the whole batch,
+                                       # suppression matrix VMEM-resident:
+                                       # 0.81 ms/B16, the stage-level
+                                       # batched winner) | "pallas" |
+                                       # "scan"
     topk_method: str = "exact"         # pre-NMS candidate select: "exact"
                                        # (lax.top_k) | "approx"
     bbox_std: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)

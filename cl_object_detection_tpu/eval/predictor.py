@@ -34,12 +34,13 @@ def make_predict_fn(
     0.05 (model.py:530) — here it's honored from PredictConfig.
     """
     nms_impl = getattr(predict_cfg, "nms_impl", "iterative")
-    if nms_impl == "pallas" and not (
+    if nms_impl in ("pallas", "pallas_fp") and not (
         predict_cfg.use_pallas_nms
         and predict_cfg.pre_nms_topk % 256 == 0
         and jax.default_backend() not in ("cpu",)
     ):
-        nms_impl = "iterative"  # pallas unavailable off-TPU / non-256 topk
+        nms_impl = "iterative"  # kernels unavailable off-TPU / non-256 topk
+                                # (identical detections either way)
 
     apply_fn = model.apply
     if getattr(predict_cfg, "quantize", False):

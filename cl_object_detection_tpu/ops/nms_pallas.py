@@ -13,11 +13,22 @@ invocations, tools/bench_nms.py): 1.03 ms vs 1.69 ms for the XLA
 degrades to ~160 ms when its iterations are dispatched separately
 through the remote tunnel instead of fused into one program.
 
-NOTE: the default production path is now ``ops/nms.nms_iterative`` — the
-fixed-point matvec formulation is faster still (0.95 ms single, 1.5 ms
-for a 16-image batch vs 3.3 ms unrolling this kernel) and vmaps; this
-kernel is kept as the ``nms_impl="pallas"`` alternative and as the
-repo's worked Pallas/Mosaic example.
+NOTE: the default production path is ``ops/nms.nms_iterative`` (the
+fixed-point matvec formulation in plain XLA). This module carries two
+kernels (r4 measurements, tools/bench_nms.py, k=1024 on v5e):
+
+* ``nms_pallas`` — per-image greedy scan. Single image 0.70 ms vs 0.54
+  iterative; kept as the ``nms_impl="pallas"`` alternative and as the
+  repo's worked Pallas/Mosaic example.
+* ``nms_pallas_batched`` — the fixed-point iteration inside ONE kernel
+  with the (k, k) suppression matrix VMEM-resident and batch as a
+  pipelined grid axis. The measured BATCHED winner: 0.81 ms per
+  16-image batch vs 1.22 ms for the vmapped iterative (the XLA form
+  re-reads the suppression matrix from HBM every fixed-point step).
+  Wired as ``nms_impl="pallas_fp"`` in ``ops/nms.detect_batch``;
+  measured e2e-NEUTRAL on the full B32 predict path (515.1 vs 514.9
+  img/s — the NMS stage overlaps other work), so the simpler iterative
+  stays the default and this is the documented batched alternative.
 
 Layout notes:
   * boxes arrive TRANSPOSED (4, k) so each coordinate is a (1, k) lane

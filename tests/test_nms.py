@@ -162,6 +162,51 @@ def test_detect_batch_iterative_matches_scan(rng):
     np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
 
 
+def test_detect_batch_pallas_fp_matches_iterative(rng):
+    """The batched single-kernel path (interpret mode on CPU) must be
+    bit-identical to the vmapped iterative production path end-to-end
+    through candidate select + decode + class-aware NMS + top-k."""
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.ops.anchors import anchors_for_shape
+    from cl_object_detection_tpu.ops.nms import detect_batch
+
+    anchors = jnp.asarray(anchors_for_shape(64, 64))
+    A, B, C = anchors.shape[0], 3, 4
+    prob = (rng.rand(B, A, C) ** 3).astype(np.float32)
+    reg = (rng.randn(B, A, 4) * 0.3).astype(np.float32)
+    kw = dict(height=64, width=64, pre_nms_topk=256, max_detections=50)
+    a = detect_batch(jnp.asarray(prob), jnp.asarray(reg), anchors,
+                     nms_impl="iterative", **kw)
+    b = detect_batch(jnp.asarray(prob), jnp.asarray(reg), anchors,
+                     nms_impl="pallas_fp", **kw)
+    np.testing.assert_allclose(np.asarray(a.boxes), np.asarray(b.boxes),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.labels), np.asarray(b.labels))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+
+    # logits path too (the predictor's production route)
+    logits = np.log(prob / (1 - prob)).astype(np.float32)
+    al = detect_batch(jnp.asarray(logits), jnp.asarray(reg), anchors,
+                      nms_impl="iterative", scores_are_logits=True, **kw)
+    bl = detect_batch(jnp.asarray(logits), jnp.asarray(reg), anchors,
+                      nms_impl="pallas_fp", scores_are_logits=True, **kw)
+    np.testing.assert_allclose(np.asarray(al.scores), np.asarray(bl.scores),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(al.valid), np.asarray(bl.valid))
+
+    # non-256-multiple k falls back cleanly (identical results, no error)
+    kw_odd = dict(height=64, width=64, pre_nms_topk=100, max_detections=50)
+    c = detect_batch(jnp.asarray(prob), jnp.asarray(reg), anchors,
+                     nms_impl="pallas_fp", **kw_odd)
+    d = detect_batch(jnp.asarray(prob), jnp.asarray(reg), anchors,
+                     nms_impl="iterative", **kw_odd)
+    np.testing.assert_allclose(np.asarray(c.scores), np.asarray(d.scores),
+                               atol=1e-6)
+
+
 def test_logits_path_matches_prob_path(rng):
     """scores_are_logits: selection on logits == selection on sigmoid(probs)."""
     import jax.numpy as jnp
