@@ -42,21 +42,30 @@ def _wait_for_device(budget_s: float = 480.0) -> bool:
              "x = jnp.ones((256, 256), jnp.bfloat16); "
              "print(float((x @ x).sum()))")
     t0 = time.monotonic()
-    try:
-        subprocess.run([sys.executable, "-c", probe], timeout=budget_s,
-                       check=True, stdout=subprocess.DEVNULL,
-                       stderr=subprocess.DEVNULL)
-        print(f"# device probe ok after {time.monotonic() - t0:.0f}s",
-              flush=True)
-        return True
-    except subprocess.CalledProcessError:
-        print("# device probe errored; attempting the bench anyway",
-              flush=True)
-        return False
-    except subprocess.TimeoutExpired:
-        print(f"# device probe still waiting after {budget_s:.0f}s budget; "
-              "attempting the bench anyway", flush=True)
-        return False
+    while True:
+        remaining = budget_s - (time.monotonic() - t0)
+        if remaining <= 0:
+            print(f"# device probe budget ({budget_s:.0f}s) exhausted; "
+                  "attempting the bench anyway", flush=True)
+            return False
+        try:
+            subprocess.run([sys.executable, "-c", probe], timeout=remaining,
+                           check=True, stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+            print(f"# device probe ok after {time.monotonic() - t0:.0f}s",
+                  flush=True)
+            return True
+        except subprocess.CalledProcessError:
+            # a process that exited ON ITS OWN never held a device claim,
+            # so retrying is safe (transient remote-compile HTTP errors);
+            # only the killed-while-waiting case must not loop
+            print("# device probe errored; retrying within budget",
+                  flush=True)
+            time.sleep(min(10.0, max(0.0, remaining)))
+        except subprocess.TimeoutExpired:
+            print(f"# device probe still waiting after {budget_s:.0f}s "
+                  "budget; attempting the bench anyway", flush=True)
+            return False
 
 
 def main():

@@ -40,6 +40,16 @@ def get_parser():
                              "trusting a deployment")
     parser.add_argument("--eval_on_train", type=str2bool, default=False)
     parser.add_argument("--just_val", type=str2bool, default=False)
+    # result-folder management (reference validation.py:35-40,
+    # evaluator.py:36-41): --new_folder nests this run's outputs in their
+    # own subfolder of state{N} — named --specific_folder, else a
+    # YYYY-mm-dd-HH-MM timestamp. The reference defaults new_folder ON;
+    # here it defaults OFF so the no-flag result paths stay deterministic
+    # (README §Reference divergences). --output_csv false skips the
+    # decline CSV (reference `collect_result`).
+    parser.add_argument("--output_csv", type=str2bool, default=True)
+    parser.add_argument("--new_folder", type=str2bool, default=False)
+    parser.add_argument("--specific_folder", default="None")
     parser.add_argument("--ignore_other_img", type=str2bool, default=False)
     parser.add_argument("--save_upper_bound", type=str2bool, default=False)
     # --torch_ckpt comes from add_train_flags; here it means "evaluate a
@@ -94,6 +104,16 @@ def run_validation(a, state: Optional[int] = None, epochs: Optional[List[int]] =
         a.root_dir, "val_result",
         "_".join(str(s) for s in cfg.il.scenario), f"state{state}",
     )
+    if getattr(a, "new_folder", False):
+        specific = getattr(a, "specific_folder", "None")
+        if specific and specific != "None":
+            folder = specific
+        else:
+            from datetime import datetime
+
+            folder = datetime.now().strftime("%Y-%m-%d-%H-%M")
+        result_dir = os.path.join(result_dir, folder)
+        print(f"results folder: {result_dir}")
     os.makedirs(result_dir, exist_ok=True)
     _copy_run_artifacts(ckpt.state_dir(state), result_dir)
 
@@ -203,16 +223,17 @@ def run_validation(a, state: Optional[int] = None, epochs: Optional[List[int]] =
         save_upper_bound(ub_path, results[max(results)])
         print(f"saved upper bound to {ub_path}")
 
-    csv_name = ("val_result_" + "_".join(str(e) for e in sorted(results))
-                + ("_bic" if use_bic else "") + ".csv")
-    decline_csv(
-        results,
-        states[state].knowing_names,
-        states[state].num_past_class,
-        upper_bound=load_upper_bound(ub_path),
-        out_path=os.path.join(result_dir, csv_name),
-    )
-    print(f"wrote {os.path.join(result_dir, csv_name)}")
+    if getattr(a, "output_csv", True):
+        csv_name = ("val_result_" + "_".join(str(e) for e in sorted(results))
+                    + ("_bic" if use_bic else "") + ".csv")
+        decline_csv(
+            results,
+            states[state].knowing_names,
+            states[state].num_past_class,
+            upper_bound=load_upper_bound(ub_path),
+            out_path=os.path.join(result_dir, csv_name),
+        )
+        print(f"wrote {os.path.join(result_dir, csv_name)}")
     _write_hparams_summary(a, cfg, state, results)
     return results
 

@@ -282,8 +282,8 @@ class PredictConfig:
                                        # Pallas kernel for the whole batch,
                                        # suppression matrix VMEM-resident:
                                        # 0.81 ms/B16, the stage-level
-                                       # batched winner) | "pallas" |
-                                       # "scan"
+                                       # batched winner) | "scan";
+                                       # legacy "pallas" aliases pallas_fp
     topk_method: str = "exact"         # pre-NMS candidate select: "exact"
                                        # (lax.top_k) | "approx"
     bbox_std: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)

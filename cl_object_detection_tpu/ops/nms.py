@@ -8,7 +8,10 @@ data-dependent filtering becomes top-k + validity masks, and class
 awareness uses the class-offset trick instead of per-class loops.
 
 This file is the pure-JAX/XLA version (runs on CPU too, used by tests and
-the detect CLI); ``nms_pallas.py`` holds the fused TPU kernel.
+the detect CLI); ``nms_pallas.py`` holds the fused batched TPU kernel
+(``nms_impl="pallas_fp"``; the legacy ``"pallas"`` name aliases to it on
+the batched path and to the bit-identical ``"iterative"`` per image —
+the per-image scan kernels were retired in r5 after losing the A/B).
 """
 from __future__ import annotations
 
@@ -87,10 +90,11 @@ def detect_single(
     directly on (possibly bf16) logits and sigmoid applies to just the k
     survivors — skipping a (A, C) sigmoid + f32 materialization.
 
-    ``nms_impl``: ``"scan"`` (XLA fori_loop), ``"pallas"`` (fused TPU
-    kernel), or ``"iterative"`` (fixed-point matvec form — vmappable, the
-    fast batched path). Default: ``"pallas"`` if ``use_pallas`` else
-    ``"scan"``. All three produce identical keep masks.
+    ``nms_impl``: ``"scan"`` (XLA fori_loop) or ``"iterative"``
+    (fixed-point matvec form — vmappable, the fast batched path);
+    ``"pallas"``/``"pallas_fp"`` are batch-level impls and resolve to the
+    bit-identical ``"iterative"`` here. Default ``"scan"``. All produce
+    identical keep masks.
     """
     impl = nms_impl or ("pallas" if use_pallas else "scan")
     cand_scores, cand_labels, idx = _select_candidates(
@@ -124,13 +128,10 @@ def _select_candidates(cls_prob, score_thresh, pre_nms_topk, topk_method,
 
 
 def _run_nms(boxes, scores, iou_thresh, impl):
-    if impl == "pallas":
-        from .nms_pallas import nms_pallas
-
-        return nms_pallas(boxes, scores, iou_thresh)
-    if impl in ("iterative", "pallas_fp"):
-        # pallas_fp is a detect_batch-level impl; per-image callers get
-        # the bit-identical fixed-point XLA form
+    if impl in ("iterative", "pallas_fp", "pallas"):
+        # pallas_fp (and its retired per-image predecessor "pallas") are
+        # detect_batch-level impls; per-image callers get the
+        # bit-identical fixed-point XLA form
         return nms_iterative(boxes, scores, iou_thresh)
     return nms_padded(boxes, scores, iou_thresh)
 
@@ -203,13 +204,18 @@ def detect_batch(
     ``"pallas_fp"`` runs the same fixed-point iteration inside ONE Pallas
     kernel with the (k, k) suppression matrix VMEM-resident, batch as a
     pipelined grid axis — the measured batched winner on v5e (0.81 ms vs
-    1.22 ms iterative per 16-image k=1024 batch, tools/bench_nms.py);
-    ``"pallas"`` (the per-image greedy-scan kernel) unrolls over the
-    batch at trace time (vmap-of-pallas_call stalls the remote Mosaic
-    compiler)."""
-    impl = nms_impl or ("pallas" if use_pallas else "scan")
+    1.22 ms iterative per 16-image k=1024 batch, tools/bench_nms.py).
+    The legacy ``"pallas"`` name aliases to ``"pallas_fp"`` (the
+    per-image scan kernel it once named lost the A/B and was retired)."""
+    impl = nms_impl or ("pallas_fp" if use_pallas else "scan")
+    if impl == "pallas":
+        impl = "pallas_fp"
     if impl == "pallas_fp" and min(pre_nms_topk, cls_prob.shape[1]) % 256:
         impl = "iterative"  # kernel needs k % 256 == 0; identical results
+    backend = jax.default_backend()
+    if impl == "pallas_fp" and backend not in ("tpu", "cpu"):
+        impl = "iterative"  # Mosaic kernel is TPU-only; interpret-mode
+        # fallback exists only on CPU — identical results either way
     if impl == "pallas_fp":
         from .nms_pallas import nms_pallas_batched
 
@@ -225,7 +231,7 @@ def detect_batch(
         )(cand_labels, idx, regression)
         keep = nms_pallas_batched(
             off_boxes, cand_scores, iou_thresh,
-            interpret=jax.default_backend() == "cpu",
+            interpret=backend == "cpu",
         )
         return jax.vmap(
             lambda k_, b, s, l: _post_nms(
@@ -239,15 +245,7 @@ def detect_batch(
         nms_impl=impl, scores_are_logits=scores_are_logits,
         topk_method=topk_method, bbox_std=bbox_std,
     )
-    if impl != "pallas":
-        return jax.vmap(fn)(cls_prob, regression)
-    dets = [fn(cls_prob[i], regression[i]) for i in range(cls_prob.shape[0])]
-    return Detections(
-        boxes=jnp.stack([d.boxes for d in dets]),
-        scores=jnp.stack([d.scores for d in dets]),
-        labels=jnp.stack([d.labels for d in dets]),
-        valid=jnp.stack([d.valid for d in dets]),
-    )
+    return jax.vmap(fn)(cls_prob, regression)
 
 
 def nms_padded(
@@ -347,13 +345,13 @@ def single_image_nms(
 ) -> Detections:
     """Full post-processing for one image (class-aware, static shapes).
 
-    ``use_pallas`` routes the suppression through the fused TPU kernel
-    (ops/nms_pallas.py; requires pre_nms_topk % 256 == 0). Prefer
-    ``nms_impl="iterative"`` — fastest on v5e at k=1024 (0.95 ms vs
-    1.03 pallas / 1.69 XLA loop, tools/bench_nms.py). See
+    Prefer ``nms_impl="iterative"`` — fastest per-image form on v5e at
+    k=1024 (0.54 ms, tools/bench_nms.py / measurements/r4/nms.json).
+    ``use_pallas``/``"pallas"`` resolve to it here (the batched Pallas
+    kernel lives on the :func:`detect_batch` path). See
     :func:`detect_single` for ``nms_impl``.
     """
-    impl = nms_impl or ("pallas" if use_pallas else "scan")
+    impl = nms_impl or ("iterative" if use_pallas else "scan")
     cand_boxes, cand_scores, cand_labels = top_k_detections(
         boxes, cls_prob, pre_nms_topk, score_thresh
     )
@@ -384,13 +382,8 @@ def batched_nms(
     use_pallas: bool = False,
     nms_impl: str | None = None,
 ) -> Detections:
-    """Batch of :func:`single_image_nms`.
-
-    The pure-JAX paths vmap; the Pallas path unrolls over the (small,
-    static) batch at trace time — vmap-of-pallas_call stalls the remote
-    Mosaic compiler on this backend, and B sequential kernel launches cost
-    the same on-device."""
-    impl = nms_impl or ("pallas" if use_pallas else "scan")
+    """Batch of :func:`single_image_nms` (vmapped)."""
+    impl = nms_impl or ("iterative" if use_pallas else "scan")
     fn = lambda b, p: single_image_nms(
         b,
         p,
@@ -400,12 +393,4 @@ def batched_nms(
         max_detections=max_detections,
         nms_impl=impl,
     )
-    if impl != "pallas":
-        return jax.vmap(fn)(boxes, cls_prob)
-    dets = [fn(boxes[i], cls_prob[i]) for i in range(boxes.shape[0])]
-    return Detections(
-        boxes=jnp.stack([d.boxes for d in dets]),
-        scores=jnp.stack([d.scores for d in dets]),
-        labels=jnp.stack([d.labels for d in dets]),
-        valid=jnp.stack([d.valid for d in dets]),
-    )
+    return jax.vmap(fn)(boxes, cls_prob)

@@ -1,25 +1,11 @@
-"""Fused Pallas TPU kernel for greedy hard NMS.
+"""Fused Pallas TPU kernel for batched greedy hard NMS.
 
 Replaces the suppression stage of ops/nms.py (the reference's
 ``torchvision.ops.batched_nms`` C++/CUDA kernel, model.py:540) on TPU.
 
-Why a kernel: exact greedy NMS is inherently sequential over the k
-score-sorted candidates. Inside ONE Pallas kernel the loop becomes a
-Mosaic hardware loop over VMEM-resident state: the (k, k) suppression
-matrix is computed blockwise on the VPU, then the k-step greedy scan does
-two tiny vector ops per step. Measured on v5e at k=1024 (chained
-invocations, tools/bench_nms.py): 1.03 ms vs 1.69 ms for the XLA
-``fori_loop`` version compiled into the same program — and the XLA loop
-degrades to ~160 ms when its iterations are dispatched separately
-through the remote tunnel instead of fused into one program.
+This module carries ONE kernel — the measured winner of the r3/r4
+win-or-retire campaign (tools/bench_nms.py, k=1024 on v5e):
 
-NOTE: the default production path is ``ops/nms.nms_iterative`` (the
-fixed-point matvec formulation in plain XLA). This module carries two
-kernels (r4 measurements, tools/bench_nms.py, k=1024 on v5e):
-
-* ``nms_pallas`` — per-image greedy scan. Single image 0.70 ms vs 0.54
-  iterative; kept as the ``nms_impl="pallas"`` alternative and as the
-  repo's worked Pallas/Mosaic example.
 * ``nms_pallas_batched`` — the fixed-point iteration inside ONE kernel
   with the (k, k) suppression matrix VMEM-resident and batch as a
   pipelined grid axis. The measured BATCHED winner: 0.81 ms per
@@ -30,13 +16,22 @@ kernels (r4 measurements, tools/bench_nms.py, k=1024 on v5e):
   img/s — the NMS stage overlaps other work), so the simpler iterative
   stays the default and this is the documented batched alternative.
 
+Two earlier per-image greedy-scan kernels (``_nms_kernel`` /
+``_nms_kernel_v2``) lost to the XLA fixed-point form single-image
+(0.70 vs 0.54 ms, measurements/r4/nms.json) and were retired in r5 —
+git history and the README "NMS impl A/B" table keep the measurements.
+
+Why a kernel at all: the XLA ``nms_iterative`` path pays ~15 while-loop
+steps x a full HBM re-read of the (k, k) suppression matrix per image
+(B16/k1024: ~1 GB of traffic). Here the matrix never leaves VMEM.
+
 Layout notes:
   * boxes arrive TRANSPOSED (4, k) so each coordinate is a (1, k) lane
     vector (k multiple of 128);
   * the suppression matrix is built in row blocks of 256 to bound VMEM
     temporaries (k=1024: matrix 4 MB + ~1 MB temps);
-  * the keep mask is a (1, k) float vector carried through the scan;
-    ``alive`` is a dynamic (1, 1) read — scalar reads from VMEM are fine.
+  * scores/keep carry a unit middle axis so their (1, 1, k) blocks
+    satisfy Mosaic's last-two-dims rule (see ``nms_pallas_batched``).
 """
 from __future__ import annotations
 
@@ -50,109 +45,20 @@ from jax.experimental.pallas import tpu as pltpu
 ROW_BLOCK = 256
 
 
-def _nms_kernel_v2(iou_thresh: float, boxes_ref, scores_ref, keep_ref, supp_ref):
-    """Scan state packed into a single (8, 128) vreg per 1024 candidates.
-
-    The v1 kernel kept the mask as (1, k): one sublane of eight used, so
-    every scan op wasted 7/8 of the VPU. Here the suppression matrix is
-    stored as (k, 8, k//128) — row i pre-shaped to the (8, k//128*128)
-    vreg tiling — and the k-step scan runs entirely on (8, k//8) tiles.
-    """
-    k = scores_ref.shape[1]
-    lanes = k // 8
-
-    x1 = boxes_ref[0:1, :]
-    y1 = boxes_ref[1:2, :]
-    x2 = boxes_ref[2:3, :]
-    y2 = boxes_ref[3:4, :]
-    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
-
-    for rb in range(k // ROW_BLOCK):
-        s = rb * ROW_BLOCK
-        rx1 = jnp.transpose(x1[:, s : s + ROW_BLOCK])
-        ry1 = jnp.transpose(y1[:, s : s + ROW_BLOCK])
-        rx2 = jnp.transpose(x2[:, s : s + ROW_BLOCK])
-        ry2 = jnp.transpose(y2[:, s : s + ROW_BLOCK])
-        rarea = jnp.transpose(area[:, s : s + ROW_BLOCK])
-
-        iw = jnp.maximum(jnp.minimum(rx2, x2) - jnp.maximum(rx1, x1), 0.0)
-        ih = jnp.maximum(jnp.minimum(ry2, y2) - jnp.maximum(ry1, y1), 0.0)
-        inter = iw * ih
-        union = jnp.maximum(rarea + area - inter, 1e-8)
-        supp = (inter > iou_thresh * union).astype(jnp.float32)   # (RB, k)
-        supp_ref[pl.ds(s, ROW_BLOCK)] = supp.reshape(ROW_BLOCK, 8, lanes)
-
-    # flat index of each mask element in the (8, lanes) tiling
-    fi = (
-        jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 0) * lanes
-        + jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 1)
-    )
-    keep0 = (scores_ref[0:1, :] > 0.0).astype(jnp.float32).reshape(8, lanes)
-
-    def body(i, keep):
-        alive = jnp.sum(keep * (fi == i).astype(jnp.float32))
-        row = supp_ref[pl.ds(i, 1)].reshape(8, lanes)
-        later = (fi > i).astype(jnp.float32)
-        return keep * (1.0 - alive * row * later)
-
-    keep = jax.lax.fori_loop(0, k, body, keep0)
-    keep_ref[0:1, :] = keep.reshape(1, k)
-
-
-def _nms_kernel(iou_thresh: float, boxes_ref, scores_ref, keep_ref, supp_ref):
-    k = scores_ref.shape[1]
-
-    x1 = boxes_ref[0:1, :]               # (1, k)
-    y1 = boxes_ref[1:2, :]
-    x2 = boxes_ref[2:3, :]
-    y2 = boxes_ref[3:4, :]
-    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
-
-    # suppression matrix in row blocks: supp[i, j] = iou(i, j) > thresh
-    for rb in range(k // ROW_BLOCK):
-        s = rb * ROW_BLOCK
-        rx1 = jnp.transpose(x1[:, s : s + ROW_BLOCK])   # (RB, 1)
-        ry1 = jnp.transpose(y1[:, s : s + ROW_BLOCK])
-        rx2 = jnp.transpose(x2[:, s : s + ROW_BLOCK])
-        ry2 = jnp.transpose(y2[:, s : s + ROW_BLOCK])
-        rarea = jnp.transpose(area[:, s : s + ROW_BLOCK])
-
-        iw = jnp.maximum(jnp.minimum(rx2, x2) - jnp.maximum(rx1, x1), 0.0)
-        ih = jnp.maximum(jnp.minimum(ry2, y2) - jnp.maximum(ry1, y1), 0.0)
-        inter = iw * ih                                  # (RB, k)
-        union = jnp.maximum(rarea + area - inter, 1e-8)
-        supp_ref[pl.ds(s, ROW_BLOCK), :] = (inter > iou_thresh * union).astype(
-            jnp.float32
-        )
-
-    # greedy scan: row i (if alive) kills all later overlapping columns.
-    # Mosaic forbids unaligned dynamic LANE reads, so `alive` is extracted
-    # with a one-hot reduction (a couple of vector ops) instead of a
-    # scalar load; the suppression row is a dynamic SUBLANE slice.
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
-    keep0 = (scores_ref[0:1, :] > 0.0).astype(jnp.float32)
-
-    def body(i, keep):
-        onehot = (col == i).astype(jnp.float32)
-        alive = jnp.sum(keep * onehot, axis=1, keepdims=True)  # (1, 1)
-        row = supp_ref[pl.ds(i, 1), :]                         # (1, k)
-        later = (col > i).astype(jnp.float32)
-        return keep * (1.0 - alive * row * later)
-
-    keep_ref[0:1, :] = jax.lax.fori_loop(0, k, body, keep0)
-
-
 def _nms_fp_kernel(iou_thresh: float, boxes_ref, scores_ref, keep_ref,
                    supp_ref):
     """Fixed-point NMS for ONE image, suppression matrix VMEM-resident.
 
-    The XLA ``nms_iterative`` winner pays ~15 while-loop steps x a full
-    HBM re-read of the (k, k) suppression matrix per image (B16/k1024:
-    ~1 GB of traffic — the measured 1.5 ms/batch is bandwidth). Here the
-    matrix never leaves VMEM (4 MB at k=1024): build it blockwise on the
+    Build the (k, k) strictly-lower suppression matrix blockwise on the
     VPU, then run the same ``keep <- valid ∧ ¬(keepᵀS > 0)`` iteration as
-    (1,k)x(k,k) MXU matvecs until the fixed point. Batch = grid axis, one
-    program per image, so Pallas pipelines the per-image box/score DMAs.
+    ops/nms.py ``nms_iterative`` via (1,k)x(k,k) MXU matvecs until the
+    fixed point. Batch = grid axis, one program per image, so Pallas
+    pipelines the per-image box/score DMAs.
+
+    The IoU test uses the SAME division form as ``nms_iterative``
+    (``inter / max(union, 1e-8) > t``) so the keep masks are bit-identical
+    — a product form (``inter > t * union``) can flip a keep bit when the
+    IoU sits within 1 ulp of the threshold.
     """
     k = scores_ref.shape[2]
     boxes = boxes_ref[0]                  # (4, k)
@@ -179,7 +85,7 @@ def _nms_fp_kernel(iou_thresh: float, boxes_ref, scores_ref, keep_ref,
         # strictly-lower restriction folded into the matrix: earlier box i
         # suppresses later box j (ops/nms.py nms_iterative semantics)
         supp_ref[pl.ds(s, ROW_BLOCK), :] = (
-            (inter > iou_thresh * union) & (row < col)
+            (inter / union > iou_thresh) & (row < col)
         ).astype(jnp.float32)
 
     valid = (scores_ref[0] > 0.0).astype(jnp.float32)      # (1, k)
@@ -214,7 +120,8 @@ def nms_pallas_batched(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Batched greedy-NMS keep masks (B, k) bool in ONE pallas_call —
-    bit-identical to ``ops.nms.nms_iterative`` vmapped over the batch."""
+    bit-identical to ``ops.nms.nms_iterative`` vmapped over the batch
+    (same IoU division form, same fixed-point recursion)."""
     b, k = scores.shape
     if k % ROW_BLOCK:
         raise ValueError(f"k={k} must be a multiple of {ROW_BLOCK}")
@@ -242,39 +149,3 @@ def nms_pallas_batched(
         interpret=interpret,
     )(boxes_t, scores_f)
     return keep[:, 0, :] > 0.5
-
-
-@functools.partial(jax.jit, static_argnames=("iou_thresh", "interpret"))
-def nms_pallas(
-    boxes: jnp.ndarray,     # (k, 4) sorted by descending score, k % 256 == 0
-    scores: jnp.ndarray,    # (k,)
-    iou_thresh: float = 0.5,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Greedy NMS keep-mask (k,) bool — same semantics as ops.nms.nms_padded."""
-    k = boxes.shape[0]
-    if k % ROW_BLOCK:
-        raise ValueError(f"k={k} must be a multiple of {ROW_BLOCK}")
-    boxes_t = jnp.transpose(boxes.astype(jnp.float32))          # (4, k)
-    scores_2d = scores.astype(jnp.float32).reshape(1, k)
-
-    # v2 runs the scan on full (8, k//8) vregs; needs lane-aligned k//8
-    if (k // 8) % 128 == 0:
-        kernel = functools.partial(_nms_kernel_v2, iou_thresh)
-        scratch = pltpu.VMEM((k, 8, k // 8), jnp.float32)
-    else:
-        kernel = functools.partial(_nms_kernel, iou_thresh)
-        scratch = pltpu.VMEM((k, k), jnp.float32)
-
-    keep = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[scratch],
-        interpret=interpret,
-    )(boxes_t, scores_2d)
-    return keep[0] > 0.5

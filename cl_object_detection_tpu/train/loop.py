@@ -115,6 +115,11 @@ def train_process(trainer: ILTrainer, recorder: Optional[Recorder] = None,
                 it, t0, dev_metrics, prefix = pending
                 metrics = {k: float(v) for k, v in dev_metrics.items()}
                 epoch_loss.append(metrics["total_loss"])
+                # the 500-deep running-loss window (reference train.py:75,
+                # printed as "Running loss" and persisted in the ckpt);
+                # total_loss is the full batch loss — the step divides the
+                # accumulated GRADS by every_iter, not the loss metric
+                trainer.loss_hist.append(metrics["total_loss"])
                 recorder.add_iter_loss(
                     cur_state,
                     {f"{prefix}{k}": v for k, v in metrics.items()}
@@ -125,6 +130,7 @@ def train_process(trainer: ILTrainer, recorder: Optional[Recorder] = None,
                         f"{k}: {v:.4f}" for k, v in sorted(metrics.items())
                     )
                     print(f"Epoch {cur_epoch:2d} | Iter {it:3d} | {keys} "
+                          f"| Running loss: {np.mean(trainer.loss_hist):.5f} "
                           f"| {time.time() - t0:.2f}s")
                 pending = None
 

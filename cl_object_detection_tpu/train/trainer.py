@@ -20,6 +20,7 @@ recompiles (few states, by design — SURVEY.md §7 hard-part 2).
 """
 from __future__ import annotations
 
+import collections
 import os
 from typing import Any, Dict, List, Optional
 
@@ -99,6 +100,10 @@ class ILTrainer:
         self._warm_kind: Optional[str] = None
         self._trainable = None
         self._steps: Dict[Any, Any] = {}
+        # running loss window (reference il_trainer.py:57-60: a
+        # deque(maxlen=500) of full per-batch losses, persisted in the
+        # checkpoint and restored on mid-state resume, params.py:302-322)
+        self.loss_hist: collections.deque = collections.deque(maxlen=500)
 
         self.ckpt = CheckpointManager(
             os.path.join(workdir, cfg.checkpoint_dir), cfg.il.scenario,
@@ -905,6 +910,12 @@ class ILTrainer:
             "exemplar_ids": list(self.dataset_replay.image_ids)
             if self.dataset_replay else [],
             "config": self.cfg.to_json(),
+            # loss history rides in the checkpoint like the reference's
+            # (params.py:307-322): the 500-deep running-loss window plus
+            # this epoch's per-iteration total losses
+            "loss_hist": [float(x) for x in self.loss_hist],
+            "epoch_loss": ([float(x) for x in epoch_loss]
+                           if epoch_loss is not None else None),
         }
         if self.bic is not None:
             il_meta["bic"] = {
@@ -954,4 +965,9 @@ class ILTrainer:
             )
         if il_meta and "bic" in il_meta and self.bic is not None:
             self.bic.params.load(il_meta["bic"])
+        if il_meta and il_meta.get("loss_hist"):
+            # restore the running-loss window (reference main.py:71 +
+            # params.py:302-305 — mid-state resume continues the deque)
+            self.loss_hist = collections.deque(
+                il_meta["loss_hist"], maxlen=500)
         return il_meta["epoch"] if il_meta else 0

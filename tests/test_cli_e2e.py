@@ -76,6 +76,36 @@ def test_validate_cli_writes_results_and_csv(run):
     assert csvs, "decline CSV missing"
 
 
+def test_validate_cli_folder_management(run):
+    """--new_folder/--specific_folder nest the run's outputs in their own
+    subfolder and --output_csv false skips the CSV (reference
+    validation.py:35-40, evaluator.py:36-41, 278-280)."""
+    root, _data, args = run
+    from cl_object_detection_tpu.cli.validate import get_parser, run_validation
+
+    a = get_parser().parse_args(args + [
+        "--state", "0", "--epoch", "2", "--threshold", "0.0",
+        "--new_folder", "true", "--specific_folder", "runA",
+        "--output_csv", "false",
+    ])
+    results = run_validation(a)
+    sub = os.path.join(root, "val_result", "5", "state0", "runA")
+    assert os.path.exists(os.path.join(sub, "toy_results_epoch2.json"))
+    assert not glob(os.path.join(sub, "val_result_*.csv"))
+    assert 2 in results
+
+    # --just_val re-scores the cached rows from the SAME named folder
+    # (the reference's reuse pattern for a specific_folder), now with CSV
+    a2 = get_parser().parse_args(args + [
+        "--state", "0", "--epoch", "2", "--threshold", "0.0",
+        "--new_folder", "true", "--specific_folder", "runA",
+        "--just_val", "true",
+    ])
+    results2 = run_validation(a2)
+    assert results2[2].mean_ap50 == results[2].mean_ap50
+    assert glob(os.path.join(sub, "val_result_*.csv"))
+
+
 def test_detect_cli_draws_boxes(run, tmp_path):
     root, data, _args = run
     from cl_object_detection_tpu.cli.detect import main as detect_main

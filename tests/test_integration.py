@@ -225,6 +225,7 @@ def test_crash_resume_is_bitwise(toy, tmp_path):
     trB = ILTrainer(cfgB, os.path.join(toy, "train.json"),
                     os.path.join(toy, "images"), workdir=str(tmp_path / "b"))
     train_process(trB)
+    loss_hist_b1 = [float(x) for x in trB.loss_hist]
     del trB
 
     # run B part 2: fresh process state, resume at epoch 3
@@ -233,11 +234,22 @@ def test_crash_resume_is_bitwise(toy, tmp_path):
     trB2 = ILTrainer(cfgB2, os.path.join(toy, "train.json"),
                      os.path.join(toy, "images"), workdir=str(tmp_path / "b"))
     trB2.resume(0, 2)                 # optimizer state too (cli.train path)
+    # the running-loss window rides in the checkpoint and is restored on
+    # resume (reference params.py:307-322 + main.py:71): right after
+    # resume it holds exactly run-B-part-1's per-iteration losses
+    assert list(trB2.loss_hist) == loss_hist_b1
+    _, metaB = trB2.ckpt.restore(0, 2)
+    assert metaB["loss_hist"] == list(trB2.loss_hist)
+    assert metaB["epoch_loss"] and all(
+        np.isfinite(x) for x in metaB["epoch_loss"])
     train_process(trB2)
     paramsB = jax.tree.map(np.asarray, trB2.train_state.params)
 
     for a, b in zip(jax.tree.leaves(paramsA), jax.tree.leaves(paramsB)):
         np.testing.assert_array_equal(a, b)
+    # uninterrupted vs resumed runs accumulate the SAME loss history
+    np.testing.assert_allclose(np.asarray(trA.loss_hist),
+                               np.asarray(trB2.loss_hist), rtol=1e-6)
 
 
 def test_cross_state_resume(toy, tmp_path):

@@ -93,12 +93,43 @@ def _install_torchvision_stub():
     sys.modules["torchvision.ops"] = ops
 
 
+def _install_reference_train_stubs():
+    """train.train -> IL_Trainer pulls data/vis deps absent in this image
+    (pycocotools, skimage) plus torchvision.transforms; stub ONLY the
+    missing ones (cv2/matplotlib are real here and used by our own code)
+    so the reference's training_iteration/change_beta import unmodified.
+    None of the stubbed symbols are exercised: the trajectory tests drive
+    the loss/optimizer path with a trainer stub, not the data layer."""
+    tv = sys.modules["torchvision"]
+    if not hasattr(tv, "transforms"):
+        tr = types.ModuleType("torchvision.transforms")
+        tr.Compose = lambda *a, **k: None
+        tv.transforms = tr
+        sys.modules["torchvision.transforms"] = tr
+    for name, attrs in [
+        ("pycocotools", {}),
+        ("pycocotools.coco", {"COCO": object}),
+        ("pycocotools.cocoeval", {"COCOeval": object}),
+        ("skimage", {}),
+        ("skimage.io", {}),
+        ("skimage.transform", {}),
+        ("skimage.color", {}),
+    ]:
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            sys.modules[name] = m
+
+
 _install_torchvision_stub()
+_install_reference_train_stubs()
 sys.path.insert(0, REF)
 try:
     from retinanet import losses as ref_losses
     from retinanet import model as ref_model
     from retinanet import utils as ref_utils
+    from train import train as ref_train
 finally:
     sys.path.remove(REF)
 
@@ -111,6 +142,14 @@ def ref_cpu(monkeypatch):
     real_device = torch.device
     monkeypatch.setattr(torch, "device", lambda *a, **k: real_device("cpu"))
     monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+
+    # training_iteration wraps its body in ``with torch.cuda.device(0)``
+    # (train.py:23) — a no-op guard on CUDA rigs, a hard RuntimeError on
+    # CPU-only torch
+    import contextlib
+
+    monkeypatch.setattr(torch.cuda, "device",
+                        lambda *a, **k: contextlib.nullcontext())
 
 
 class RefParams(dict):
@@ -1048,3 +1087,259 @@ def test_training_trajectory_equivalence(train_step_models, ref_cpu):
         )
     ref_drop = ref_curve[0] - min(ref_curve)
     assert ref_drop > 0.01, "degenerate: reference curve never moved"
+
+
+# ===========================================================================
+# (f) INCREMENTAL trajectory parity — the state-1 hot path: frozen teacher +
+#     feature/cls/reg distillation + replay interleave with the Adam-beta1
+#     swap + clip semantics, both frameworks stepped from shared weights
+#     (reference semantics: train.py:15-80 training_iteration,
+#     train.py:133-150 change_beta, losses.py:605-737 IL_Loss incremental
+#     branch). This is the layer the per-function distill parity tests
+#     cannot cover: small per-step numeric deltas COMPOUND through the
+#     optimizer across mixed batch kinds.
+# ===========================================================================
+
+IT_PAST, IT_NEW = 3, 3          # 3 old + 3 new = 6 knowing classes
+IT_LR, IT_EVERY = 1e-4, 2
+IT_BETA_REPLAY = 0.5            # visible effect if the swap ever diverges
+
+
+def _ts_batch_classes(seed, lo, hi):
+    """_ts_batch with GT labels drawn from [lo, hi) — new-class batches
+    use [IT_PAST, IT_PAST+IT_NEW), replay batches [0, IT_PAST)."""
+    rng = np.random.RandomState(seed)
+    images = rng.randn(2, H, W, 3).astype(np.float32) * 0.8
+    boxes = np.full((2, 5, 4), -1.0, np.float32)
+    labels = np.full((2, 5), -1, np.int64)
+    for b in range(2):
+        for i in range(rng.randint(1, 4)):
+            x1, y1 = rng.uniform(0, W - 30), rng.uniform(0, H - 30)
+            bw, bh = rng.uniform(10, 28), rng.uniform(10, 28)
+            boxes[b, i] = [x1, y1, x1 + bw, y1 + bh]
+            labels[b, i] = rng.randint(lo, hi)
+    annots = np.concatenate([boxes, labels[..., None].astype(np.float32)], -1)
+    return images, boxes, labels, annots
+
+
+@pytest.fixture(scope="module")
+def il_trajectory_models(tmp_path_factory):
+    """R18 student (6 classes) + frozen R18 teacher (3 classes), each with
+    ONE weight set converted into both frameworks. The teacher's output
+    bias is spread around sigmoid≈0.08 so its fg mask (p > 0.05,
+    losses.py:712-718) is non-degenerate — a prior-initialized teacher
+    would predict no foreground and zero out every distill term."""
+    import jax
+    import jax.numpy as jnp
+
+    import torch._dynamo  # noqa: F401  (see train_step_models)
+
+    from cl_object_detection_tpu.models.convert import load_reference_checkpoint
+    from cl_object_detection_tpu.models.retinanet import RetinaNet
+
+    tmp = tmp_path_factory.mktemp("il_traj")
+
+    torch.manual_seed(20)
+    tt = ref_model.create_retinanet(18, num_classes=IT_PAST, pretrained=False)
+    with torch.no_grad():
+        torch.manual_seed(21)
+        tt.classificationModel.output.weight.normal_(0.0, 2e-5)
+        tt.classificationModel.output.bias.normal_(-2.4, 0.4)
+        tt.regressionModel.output.weight.normal_(0.0, 1e-5)
+        tt.regressionModel.output.bias.normal_(0.0, 0.05)
+    tpath = str(tmp / "teacher18.pt")
+    torch.save(tt.state_dict(), tpath)
+
+    torch.manual_seed(22)
+    tm = ref_model.create_retinanet(18, num_classes=IT_PAST + IT_NEW,
+                                    pretrained=False)
+    with torch.no_grad():
+        torch.manual_seed(23)
+        tm.classificationModel.output.weight.normal_(0.0, 2e-5)
+        tm.classificationModel.output.bias.normal_(-3.6, 0.5)
+        tm.regressionModel.output.weight.normal_(0.0, 1e-5)
+        tm.regressionModel.output.bias.normal_(0.0, 0.05)
+    spath = str(tmp / "student18.pt")
+    torch.save(tm.state_dict(), spath)
+
+    jt = RetinaNet(depth=18, num_classes=IT_PAST, dtype=jnp.float32)
+    tvars = jt.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
+    tvars = load_reference_checkpoint(tvars, tpath, strict=True)
+    jm = RetinaNet(depth=18, num_classes=IT_PAST + IT_NEW, dtype=jnp.float32)
+    svars = jm.init(jax.random.PRNGKey(1), jnp.zeros((1, H, W, 3)))
+    svars = load_reference_checkpoint(svars, spath, strict=True)
+    return tm, tt, jm, jt, svars, tvars
+
+
+class _RefTrainerStub:
+    """The il_trainer surface IL_Loss/training_iteration/change_beta read
+    (train.py:15-80, 133-150; il_trainer.py:91-100)."""
+
+    def __init__(self, model, prev_model, params, optimizer):
+        self.model = model
+        self.prev_model = prev_model
+        self.params = params
+        self.optimizer = optimizer
+        self.cur_state = 1
+        self.cur_warm_stage = -1
+        self.cur_epoch = 1
+        self.end_epoch = 10
+        self.bic = None
+        self.backward_count = 0
+        import collections
+
+        self.loss_hist = collections.deque(maxlen=500)
+
+    def is_backward(self):
+        return self.backward_count == 0
+
+    def backward_next(self):
+        self.backward_count = (self.backward_count + 1) % self.params[
+            "every_iter"]
+
+
+def test_incremental_trajectory_equivalence(il_trajectory_models, ref_cpu):
+    """24 micro-steps (12 Adam steps at every_iter=2) of the STATE-1 path
+    from shared init, new-class and replay batches interleaved in a
+    schedule covering every accumulation-window kind combination
+    ([new,new], [new,replay], [replay,new], [replay,replay]): the two
+    frameworks' total-loss curves must track each other pointwise. This
+    composes focal + clip_loss + feature/cls/reg distillation (frozen
+    teacher) + enhance_error + the beta1 swap + grad-accumulate + clip +
+    two-group Adam — the reference's full incremental hot path."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.config import (
+        FocalConfig,
+        ILConfig,
+        ScheduleConfig,
+    )
+    from cl_object_detection_tpu.il.losses import LossStatics
+    from cl_object_detection_tpu.ops.anchors import anchors_for_shape
+    from cl_object_detection_tpu.train.optim import make_optimizer, set_beta1
+    from cl_object_detection_tpu.train.state import TrainState
+    from cl_object_detection_tpu.train.step import StepStatics, make_train_step
+
+    tm, tt, jm, jt, svars, tvars = il_trajectory_models
+    n_micro = 24
+    # every accumulation window kind-pair: FF, FR, RF, RR (F=new batch,
+    # R=replay batch), cycled 3x
+    kinds = ([False, False, False, True, True, False, True, True] * 3)
+    new_batches = [_ts_batch_classes(200 + i, IT_PAST, IT_PAST + IT_NEW)
+                   for i in range(4)]
+    rep_batches = [_ts_batch_classes(300 + i, 0, IT_PAST) for i in range(4)]
+
+    def batch_for(it):
+        src = rep_batches if kinds[it] else new_batches
+        return src[it % len(src)]
+
+    # ---- reference trajectory: training_iteration + change_beta verbatim
+    # semantics (train.py:15-80); distill on probabilities + enhance_error
+    # on replay, clip_loss both paths (RefParams defaults = main.py flags)
+    tm = copy.deepcopy(tm)
+    tt_r = copy.deepcopy(tt)
+    states = [dict(num_past_class=0, num_knowing_class=IT_PAST),
+              dict(num_past_class=IT_PAST,
+                   num_knowing_class=IT_PAST + IT_NEW)]
+    params = RefParams(
+        states, distill=True, distill_logits=False, enhance_error=True,
+        enhance_error_method="L2", clip_loss=True,
+        every_iter=IT_EVERY, beta_on_replay=IT_BETA_REPLAY,
+        beta_on_where="all", mas=False, agem=False, no_clip=False,
+    )
+    white_list = ["classificationModel.output"]
+    group1 = [p for n, p in tm.named_parameters()
+              if not any(w in n for w in white_list)]
+    tm.train()
+    tm.freeze_bn()
+    opt = torch.optim.Adam(
+        [{"params": group1},
+         {"params": tm.classificationModel.output.parameters()}], lr=IT_LR)
+    opt.zero_grad(set_to_none=True)
+    trainer = _RefTrainerStub(tm, tt_r, params, opt)
+    il = ref_losses.IL_Loss(trainer)
+
+    ref_curve, ref_keys = [], []
+    for it in range(n_micro):
+        is_replay = kinds[it]
+        trainer.backward_next()
+        ref_train.change_beta(trainer, is_replay=is_replay)
+        images, _, _, annots = batch_for(it)
+        info = ref_train.training_iteration(
+            trainer, il,
+            {"img": torch.tensor(images.transpose(0, 3, 1, 2)),
+             "annot": torch.tensor(annots)},
+            is_replay=is_replay,
+        )
+        ref_curve.append(info["total_loss"])
+        ref_keys.append(info)
+
+    # ---- our trajectory: the real jitted steps (one compiled program per
+    # batch kind, sharing TrainState — exactly the trainer's wiring)
+    sched = ScheduleConfig(lr=IT_LR, every_iter=IT_EVERY)
+    tx = make_optimizer(sched, svars["params"], use_clip=False)
+    state = TrainState.create(
+        params=svars["params"], batch_stats=svars["batch_stats"], tx=tx)
+    anchors = jnp.asarray(anchors_for_shape(H, W))
+    il_cfg = ILConfig()
+    ss = StepStatics(every_iter=IT_EVERY, use_clip=True, grad_clip=0.1)
+    step_inc = make_train_step(
+        jm, jt, anchors, il_cfg, FocalConfig(),
+        LossStatics(num_classes=IT_PAST + IT_NEW, num_past_class=IT_PAST,
+                    incremental=True, use_distill=True,
+                    distill_logits=False),
+        ss, donate=False,
+    )
+    step_rep = make_train_step(
+        jm, None, anchors, il_cfg, FocalConfig(),
+        LossStatics(num_classes=IT_PAST + IT_NEW, num_past_class=IT_PAST,
+                    incremental=False, is_replay=True,
+                    use_enhance_error=True, enhance_error_method="L2"),
+        ss, donate=False,
+    )
+
+    our_curve, our_keys = [], []
+    for it in range(n_micro):
+        is_replay = kinds[it]
+        # change_beta semantics (train.py:133-150): set BOTH groups every
+        # iteration
+        state = state.replace(opt_state=set_beta1(
+            state.opt_state, IT_BETA_REPLAY if is_replay else 0.9, "all"))
+        images, boxes, labels, _ = batch_for(it)
+        if is_replay:
+            state, m = step_rep(state, jnp.asarray(images),
+                                jnp.asarray(boxes), jnp.asarray(labels))
+        else:
+            state, m = step_inc(state, jnp.asarray(images),
+                                jnp.asarray(boxes), jnp.asarray(labels),
+                                teacher_variables=tvars)
+        our_curve.append(float(m["total_loss"]))
+        our_keys.append({k: float(v) for k, v in m.items()})
+
+    # the curves track pointwise through 12 optimizer steps of compounding
+    # numerics, across BOTH batch kinds
+    for it, (o, r) in enumerate(zip(our_curve, ref_curve)):
+        assert abs(o - r) / max(abs(r), 1e-6) < 0.02, (
+            f"step {it} ({'replay' if kinds[it] else 'new'}): "
+            f"ours {o:.5f} vs ref {r:.5f}")
+    # per-term agreement at the last step of each kind (the taxonomy the
+    # recorder logs) — catches a term silently migrating between keys
+    last_new = max(i for i in range(n_micro) if not kinds[i])
+    last_rep = max(i for i in range(n_micro) if kinds[i])
+    for it, keys in ((last_new, ["cls_bg_loss", "cls_fg_loss", "reg_loss",
+                                 "dist_cls_loss", "dist_reg_loss",
+                                 "dist_feat_loss"]),
+                     (last_rep, ["cls_bg_loss", "cls_fg_loss", "reg_loss",
+                                 "enhance_loss"])):
+        for k in keys:
+            rk = ("replay_" + k) if kinds[it] else k
+            assert rk in ref_keys[it], rk
+            np.testing.assert_allclose(
+                our_keys[it][k], ref_keys[it][rk], rtol=0.05, atol=2e-4,
+                err_msg=f"step {it} {k}")
+    # both actually trained: the new-class focal fg loss fell
+    first_new = min(i for i in range(n_micro) if not kinds[i])
+    assert ref_curve[last_new] < ref_curve[first_new], "ref never moved"

@@ -3,8 +3,10 @@
 
 Times the suppression stage alone — the reference's
 ``torchvision.ops.batched_nms`` equivalent — on k score-sorted candidates:
-the fused Pallas kernel (ops/nms_pallas.py) vs the XLA fori_loop version
-(ops/nms.nms_padded).
+the fused batched Pallas kernel (ops/nms_pallas.py) vs the fixed-point
+XLA form (ops/nms.nms_iterative) and the fori_loop version
+(ops/nms.nms_padded). The retired per-image scan kernels' r4 numbers
+live in measurements/r4/nms.json.
 
 Honest timing through the axon tunnel: N kernel invocations are chained
 with data dependencies inside one jitted fori_loop and synced with a
@@ -27,10 +29,7 @@ def bench(kind: str, k: int, iters: int) -> float:
     import jax.numpy as jnp
 
     from cl_object_detection_tpu.ops.nms import nms_iterative, nms_padded
-    from cl_object_detection_tpu.ops.nms_pallas import (
-        nms_pallas,
-        nms_pallas_batched,
-    )
+    from cl_object_detection_tpu.ops.nms_pallas import nms_pallas_batched
 
     rng = np.random.RandomState(0)
     # plausible candidate stream: clustered boxes, descending scores
@@ -41,7 +40,6 @@ def bench(kind: str, k: int, iters: int) -> float:
     scores = jnp.asarray(np.sort(rng.rand(k))[::-1].copy(), jnp.float32)
 
     fn = {
-        "pallas": nms_pallas,
         "pallas_fp": lambda b, s, t: nms_pallas_batched(b[None], s[None], t)[0],
         "iterative": nms_iterative,
         "xla_loop": nms_padded,
@@ -72,10 +70,7 @@ def bench_batched(kind: str, k: int, batch: int, iters: int) -> float:
     import jax.numpy as jnp
 
     from cl_object_detection_tpu.ops.nms import nms_iterative, nms_padded
-    from cl_object_detection_tpu.ops.nms_pallas import (
-        nms_pallas,
-        nms_pallas_batched,
-    )
+    from cl_object_detection_tpu.ops.nms_pallas import nms_pallas_batched
 
     rng = np.random.RandomState(0)
     centers = rng.rand(batch, k, 2) * [1024, 640]
@@ -86,10 +81,7 @@ def bench_batched(kind: str, k: int, batch: int, iters: int) -> float:
         np.sort(rng.rand(batch, k), axis=1)[:, ::-1].copy(), jnp.float32
     )
 
-    if kind == "pallas":
-        def fn(b, s):  # trace-time unroll (vmap-of-pallas stalls Mosaic)
-            return jnp.stack([nms_pallas(b[i], s[i], 0.5) for i in range(batch)])
-    elif kind == "pallas_fp":
+    if kind == "pallas_fp":
         fn = lambda b, s: nms_pallas_batched(b, s, 0.5)
     else:
         inner = nms_iterative if kind == "iterative" else nms_padded
@@ -122,7 +114,7 @@ def main():
     import jax
 
     on_tpu = jax.default_backend() != "cpu"
-    kinds = (["pallas", "pallas_fp", "iterative", "xla_loop"] if on_tpu
+    kinds = (["pallas_fp", "iterative", "xla_loop"] if on_tpu
              else ["iterative", "xla_loop"])
     for kind in kinds:
         ms = bench(kind, args.k, args.iters) * 1e3

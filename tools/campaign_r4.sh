@@ -55,12 +55,16 @@ fi
 
 # 2. backward-gap attribution at the benched operating point
 phase bwd "$OUT/bwd_breakdown.json" 2400 bash -c \
-    "python tools/bench_bwd_breakdown.py --batch 8 --height 608 --width 832 \
-        > '$OUT/bwd_breakdown.json'"
+    "set -o pipefail; \
+     python tools/bench_bwd_breakdown.py --batch 8 --height 608 --width 832 \
+        > '$OUT/bwd_breakdown.json.partial' \
+     && mv '$OUT/bwd_breakdown.json.partial' '$OUT/bwd_breakdown.json'"
 
 # 3. NMS kernel shootout incl. the batched Pallas fixed-point candidate
 phase nms "$OUT/nms.json" 1800 bash -c \
-    "python tools/bench_nms.py --k 1024 --batch 16 > '$OUT/nms.json'"
+    "set -o pipefail; \
+     python tools/bench_nms.py --k 1024 --batch 16 > '$OUT/nms.json.partial' \
+     && mv '$OUT/nms.json.partial' '$OUT/nms.json'"
 
 # 4. inference MFU across the model family (headline operating point)
 if [ ! -s "$OUT/sweep_mfu.jsonl" ]; then
@@ -105,7 +109,9 @@ fi
 
 # 7. fresh headline number
 phase headline "$OUT/headline.json" 3600 bash -c \
-    "python bench.py | tail -1 > '$OUT/headline.json'"
+    "set -o pipefail; \
+     python bench.py | tail -1 > '$OUT/headline.json.partial' \
+     && mv '$OUT/headline.json.partial' '$OUT/headline.json'"
 
 echo "== campaign complete $(date +%H:%M:%S)"
 ls -la "$OUT"
