@@ -27,6 +27,9 @@ E1=${3:-40}      # state-1 epochs
 EJ=${4:-60}      # joint epochs
 STYLE=${STYLE:-separable}
 VARIANTS=${VARIANTS:-0}
+SEED=${SEED:-0}   # training seed (init + data order); the toy DATASET
+                  # stays seed-0 so multi-seed runs measure method
+                  # variance, not dataset variance
 COMMON_SHAPE=(--image_height 256 --image_width 320 --min_side 240 --max_side 320)
 CLASSES=(); for i in $(seq -w 0 19); do CLASSES+=("cls$i"); done
 # RESUME=1 keeps $ROOT and skips any phase whose terminal artifact exists
@@ -45,7 +48,7 @@ python -m cl_object_detection_tpu.cli.train \
     --root_dir "$ROOT/joint" --dataset "$ROOT/data" \
     --scenario 20 --end_epoch "$EJ" --depth 50 --pretrained false \
     --batch_size 8 --lr 3e-4 --every_iter 1 --record false --save_every 20 \
-    "${COMMON_SHAPE[@]}"
+    --seed "$SEED" "${COMMON_SHAPE[@]}"
 [ -f "$ROOT/joint/val_result/upper_bound.json" ] || \
 python -m cl_object_detection_tpu.cli.validate \
     --root_dir "$ROOT/joint" --dataset "$ROOT/data" \
@@ -59,10 +62,12 @@ python -m cl_object_detection_tpu.cli.train \
     --scenario 10 10 --start_state 0 --end_state 0 \
     --end_epoch "$E0" --depth 50 --pretrained false \
     --batch_size 8 --lr 3e-4 --every_iter 1 --record false --save_every 20 \
-    "${COMMON_SHAPE[@]}"
+    --seed "$SEED" "${COMMON_SHAPE[@]}"
 
 ALL_VARIANTS=(naive full)
 if [ "$VARIANTS" = "1" ]; then ALL_VARIANTS+=(scail classmean); fi
+if [ "$VARIANTS" = "2" ]; then ALL_VARIANTS+=(scail); fi  # scail-only
+                  # (multi-seed reruns: classmean already measured neutral)
 for variant in "${ALL_VARIANTS[@]}"; do
     [ -d "$ROOT/$variant/checkpoint/10_10/state0" ] && continue
     mkdir -p "$ROOT/$variant/checkpoint/10_10" "$ROOT/$variant/val_result"
@@ -79,7 +84,7 @@ python -m cl_object_detection_tpu.cli.train \
     --batch_size 8 --lr 2e-4 --every_iter 1 --record false --save_every 20 \
     --distill false --mas false --agem false --bic false \
     --persuado_label false --sample_num 0 \
-    "${COMMON_SHAPE[@]}"
+    --seed "$SEED" "${COMMON_SHAPE[@]}"
 [ -f "$ROOT/naive/val_result/10_10/state1/val_result_${E1}.csv" ] || \
 python -m cl_object_detection_tpu.cli.validate \
     --root_dir "$ROOT/naive" --dataset "$ROOT/data" \
@@ -98,7 +103,7 @@ run_state1() {  # run_state1 <dir> <extra flags...>
         --scenario 10 10 --start_state 1 --end_state 1 \
         --new_state_epoch "$E1" --depth 50 --pretrained false \
         --batch_size 8 --lr 2e-4 --every_iter 1 --record false --save_every 20 \
-        "${FULL_FLAGS[@]}" "$@" "${COMMON_SHAPE[@]}"
+        --seed "$SEED" "${FULL_FLAGS[@]}" "$@" "${COMMON_SHAPE[@]}"
     [ -f "$ROOT/$dir/val_result/10_10/state1/val_result_${E1}_bic.csv" ] || \
     python -m cl_object_detection_tpu.cli.validate \
         --root_dir "$ROOT/$dir" --dataset "$ROOT/data" \
@@ -107,9 +112,11 @@ run_state1() {  # run_state1 <dir> <extra flags...>
 }
 run_state1 full
 
-if [ "$VARIANTS" = "1" ]; then
+if [ "$VARIANTS" = "1" ] || [ "$VARIANTS" = "2" ]; then
     echo "=== 4b. full battery + SCAIL standardization"
     run_state1 scail --scail true
+fi
+if [ "$VARIANTS" = "1" ]; then
     echo "=== 4c. full battery, classmean herd ranking"
     run_state1 classmean --prototype_herd_mode classmean
 fi

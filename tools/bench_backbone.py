@@ -21,12 +21,12 @@ LAYERS = (3, 4, 6, 3)
 PLANES = (64, 128, 256, 512)
 
 
-def run(mode, batch=16, iters=20):
+def run(mode, batch=16, iters=20, height=640, width=1024):
     import jax, jax.numpy as jnp
     import flax.linen as nn
     from cl_object_detection_tpu.models.resnet import ResNetBackbone
 
-    H, W = 640, 1024
+    H, W = height, width
     dtype = jnp.float32 if mode == "f32" else jnp.bfloat16
     use_bn = mode != "nobn"
     stages = {"stem": 0, "s1": 1, "s2": 2, "s3": 3, "s4": 4,
@@ -105,9 +105,13 @@ def run(mode, batch=16, iters=20):
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    batch = 16
-    if argv and argv[0] == "--batch":
-        batch = int(argv[1])
+    batch, height, width = 16, 640, 1024
+    while argv and argv[0] in ("--batch", "--height", "--width"):
+        k, v = argv[0][2:], int(argv[1])
+        batch = v if k == "batch" else batch
+        height = v if k == "height" else height
+        width = v if k == "width" else width
         argv = argv[2:]
     for m in argv or ["stem", "s1", "s2", "s3", "s4", "nobn"]:
-        print(json.dumps(run(m, batch=batch)), flush=True)
+        print(json.dumps(run(m, batch=batch, height=height, width=width)),
+              flush=True)
