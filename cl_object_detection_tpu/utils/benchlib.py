@@ -25,8 +25,14 @@ def make_predict_sum(model, variables, anchors, pcfg, H: int, W: int):
 
     from ..ops.nms import detect_batch
 
+    apply_fn = model.apply
+    if getattr(pcfg, "quantize", False):
+        from ..ops.quant import quantized_apply
+
+        apply_fn = quantized_apply(model)
+
     def predict_sum(images, variables):
-        logits, regression = model.apply(variables, images, enable_act=False)
+        logits, regression = apply_fn(variables, images, enable_act=False)
         det = detect_batch(
             logits, regression, anchors, height=H, width=W,
             score_thresh=pcfg.score_thresh, iou_thresh=pcfg.nms_iou,
