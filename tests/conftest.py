@@ -28,7 +28,7 @@ _MESH_FILES = {
 _PARITY_FILES = {"test_reference_parity", "test_reference_interop"}
 _SLOW_FILES = {
     "test_integration", "test_multistate", "test_deploy", "test_serve",
-    "test_cli_e2e", "test_tools_cli",
+    "test_cli_e2e", "test_tools_cli", "test_reference_ab",
 }
 # whole-model jit-compile-heavy unit files (measured 25-330 s each on the
 # 1-core CPU box): real units, but too slow for the quick tier
