@@ -37,3 +37,26 @@ def test_make_toy_dataset_and_coco_tool(tmp_path):
     by_img = _run("tools/coco_tool.py", "cats-by-img", train_json,
                   "--imgs", str(coco["images"][0]["id"]))
     assert ":" in by_img
+
+
+def test_multiseed_summary_parses_r4_artifacts():
+    """tools/multiseed_summary.py aggregates the committed r4 artifacts
+    into the mean+/-spread tables (campaign_r5.sh phase 5)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "multiseed_summary.py"),
+         "--r4_summary",
+         os.path.join(REPO, "measurements", "r4", "forgetting_summary.txt"),
+         "--r4_battery",
+         os.path.join(REPO, "measurements", "r4", "battery.log")],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = r.stdout
+    assert "forgetting ablation" in out and "A/B battery" in out
+    # seed-0 rows parsed: the known r4 numbers appear
+    assert "0.629" in out      # full battery old-mAP50
+    assert "+0.136" in out     # SCAIL delta
+    assert "0.8828" in out     # battery 608x832 row
