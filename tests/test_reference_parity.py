@@ -1360,3 +1360,147 @@ def test_incremental_trajectory_equivalence(il_trajectory_models, ref_cpu):
     first_new = min(i for i in range(n_micro) if not kinds[i])
     assert ref_curve[last_new] < ref_curve[first_new], "ref never moved"
     assert our_curve[last_new] < our_curve[first_new], "ours never moved"
+
+
+def test_warm_classifier_trajectory_equivalence(il_trajectory_models,
+                                                ref_cpu):
+    """The state-1 WARM stage (warm_layers='output'), trajectory level: 12
+    micro-steps where only the classifier output conv trains. Reference
+    semantics composed here (train.py:15-80 + il_trainer warm_up):
+    freeze_layers(['classificationModel.output']) so frozen params get NO
+    grad, IL_Loss takes the PLAIN branch (no distill even at state 1,
+    losses.py:543-549), no grad clip (train.py:53-55), and the old-class
+    rows of the output conv get their grads zeroed per anchor slot
+    (train.py:58-66). Ours: trainable_mask + StepStatics(warm_classifier)
+    on the same shared weights. Asserts curve tracking AND the structural
+    invariants: backbone/FPN/old-class rows bit-frozen in BOTH frameworks,
+    new-class rows actually move."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.config import (
+        FocalConfig,
+        ILConfig,
+        ScheduleConfig,
+    )
+    from cl_object_detection_tpu.il.losses import LossStatics
+    from cl_object_detection_tpu.ops.anchors import anchors_for_shape
+    from cl_object_detection_tpu.train.optim import make_optimizer
+    from cl_object_detection_tpu.train.state import TrainState
+    from cl_object_detection_tpu.train.step import StepStatics, make_train_step
+    from cl_object_detection_tpu.train.trainer import trainable_mask
+
+    tm, _tt, jm, _jt, svars, _tvars = il_trajectory_models
+    n_micro = 12
+    batches = [_ts_batch_classes(400 + i, IT_PAST, IT_PAST + IT_NEW)
+               for i in range(4)]
+
+    # ---- reference: warm stage 0 active, output-only white list
+    tm = copy.deepcopy(tm)
+    states = [dict(num_past_class=0, num_knowing_class=IT_PAST),
+              dict(num_past_class=IT_PAST,
+                   num_knowing_class=IT_PAST + IT_NEW)]
+    params = RefParams(states, every_iter=IT_EVERY, mas=False, agem=False,
+                       no_clip=False, warm_layers=["output"],
+                       beta_on_replay=0.9, beta_on_where="all")
+    white_list = ["classificationModel.output"]
+    group1 = [p for n, p in tm.named_parameters()
+              if not any(w in n for w in white_list)]
+    tm.train()
+    tm.freeze_bn()
+    tm.freeze_layers(["classificationModel.output"])  # il_trainer.py:352-377
+    opt = torch.optim.Adam(
+        [{"params": group1},
+         {"params": tm.classificationModel.output.parameters()}], lr=IT_LR)
+    opt.zero_grad(set_to_none=True)
+    trainer = _RefTrainerStub(tm, None, params, opt)
+    trainer.cur_warm_stage = 0
+    ref_params0 = {n: p.detach().clone() for n, p in tm.named_parameters()}
+    il = ref_losses.IL_Loss(trainer)
+
+    ref_curve = []
+    for it in range(n_micro):
+        trainer.backward_next()
+        ref_train.change_beta(trainer, is_replay=False)
+        images, _, _, annots = batches[it % len(batches)]
+        info = ref_train.training_iteration(
+            trainer, il,
+            {"img": torch.tensor(images.transpose(0, 3, 1, 2)),
+             "annot": torch.tensor(annots)},
+            is_replay=False,
+        )
+        ref_curve.append(info["total_loss"])
+
+    # ---- ours: the real warm-configured step (trainer wiring:
+    # _loss_statics forces the plain branch, _step_statics sets
+    # warm_classifier + no clip, warm_up builds the trainable mask)
+    sched = ScheduleConfig(lr=IT_LR, every_iter=IT_EVERY)
+    tx = make_optimizer(sched, svars["params"], use_clip=False)
+    state = TrainState.create(
+        params=svars["params"], batch_stats=svars["batch_stats"], tx=tx)
+    params0 = jax.tree.map(np.asarray, state.params)
+    anchors = jnp.asarray(anchors_for_shape(H, W))
+    step = make_train_step(
+        jm, None, anchors, ILConfig(), FocalConfig(),
+        LossStatics(num_classes=IT_PAST + IT_NEW, num_past_class=IT_PAST,
+                    incremental=False),
+        StepStatics(every_iter=IT_EVERY, use_clip=False,
+                    warm_classifier=True, num_past_class=IT_PAST,
+                    num_knowing_class=IT_PAST + IT_NEW, num_anchors=9),
+        donate=False,
+    )
+    mask = trainable_mask(state.params, "output")
+    our_curve = []
+    for it in range(n_micro):
+        images, boxes, labels, _ = batches[it % len(batches)]
+        state, m = step(state, jnp.asarray(images), jnp.asarray(boxes),
+                        jnp.asarray(labels), trainable_mask=mask)
+        our_curve.append(float(m["total_loss"]))
+
+    # curve tracking: only the output conv trains, so the trajectory is
+    # far better conditioned than the full incremental one
+    for it, (o, r) in enumerate(zip(our_curve, ref_curve)):
+        assert abs(o - r) / max(abs(r), 1e-6) < 0.01, (
+            f"step {it}: ours {o:.5f} vs ref {r:.5f}")
+    assert ref_curve[-1] < ref_curve[0], "warm stage never trained"
+
+    # structural invariants, both frameworks:
+    from cl_object_detection_tpu.models.convert import _map_full_key
+
+    A, C, P = 9, IT_PAST + IT_NEW, IT_PAST
+    for name, rp in tm.named_parameters():
+        rp = rp.detach()
+        r0 = ref_params0[name]
+        path_parts, pname, collection = _map_full_key(name)
+        if collection != "params":
+            continue
+        node_new, node_old = state.params, params0
+        for part in path_parts:
+            node_new, node_old = node_new[part], node_old[part]
+        ours_new, ours_old = np.asarray(node_new[pname]), node_old[pname]
+        if "classificationModel.output" not in name:
+            # frozen everywhere else — torch via requires_grad=False,
+            # ours via the mask + fresh-optimizer zero moments
+            assert torch.equal(rp, r0), f"ref moved frozen {name}"
+            np.testing.assert_array_equal(ours_new, ours_old,
+                                          err_msg=f"ours moved frozen {name}")
+        else:
+            rp_np = rp.numpy()
+            r0_np = r0.numpy()
+            if rp_np.ndim == 4:
+                rp_np = rp_np.transpose(2, 3, 1, 0)
+                r0_np = r0_np.transpose(2, 3, 1, 0)
+            # anchor-major rows: old classes frozen by the grad zeroing,
+            # new classes trained (train.py:58-66)
+            rr = rp_np.reshape(rp_np.shape[:-1] + (A, C))
+            rr0 = r0_np.reshape(rr.shape)
+            oo = ours_new.reshape(rr.shape)
+            oo0 = ours_old.reshape(rr.shape)
+            np.testing.assert_array_equal(rr[..., :P], rr0[..., :P],
+                                          err_msg=f"ref old rows moved {name}")
+            np.testing.assert_array_equal(oo[..., :P], oo0[..., :P],
+                                          err_msg=f"our old rows moved {name}")
+            assert np.abs(rr[..., P:] - rr0[..., P:]).max() > 0, name
+            assert np.abs(oo[..., P:] - oo0[..., P:]).max() > 0, name
