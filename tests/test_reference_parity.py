@@ -1504,3 +1504,124 @@ def test_warm_classifier_trajectory_equivalence(il_trajectory_models,
                                           err_msg=f"our old rows moved {name}")
             assert np.abs(rr[..., P:] - rr0[..., P:]).max() > 0, name
             assert np.abs(oo[..., P:] - oo0[..., P:]).max() > 0, name
+
+
+def test_bic_trajectory_equivalence(il_trajectory_models, ref_cpu,
+                                    monkeypatch):
+    """The post-epoch BiC phase (IL_method/bic.py:186-227), trajectory
+    level: 12 Adam steps where the detector is frozen and ONLY the current
+    state's bias scalars (alpha, beta) train on held-out batches, via the
+    reference's own ``IL_Loss.forward(is_replay=True, is_bic=True)`` path
+    — raw logits -> ``bic_correction`` -> sigmoid -> focal with the
+    replay fg-clip, enhance_error suppressed by ``is_bic``
+    (losses.py:558-593) — against our ``il.bic.BicTrainer._train_step``
+    from the same shared weights. Asserts the loss curves AND the
+    (alpha, beta) trajectories track, completing the composed-semantics
+    matrix: joint, incremental, warm, BiC."""
+    import copy
+
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.config import BiCConfig, FocalConfig, ILConfig
+    from cl_object_detection_tpu.il.bic import BicTrainer
+    from cl_object_detection_tpu.ops.anchors import anchors_for_shape
+
+    tm, _tt, jm, _jt, svars, _tvars = il_trajectory_models
+    n_steps = 12
+    BIC_LR = 1e-3  # bic.py:96
+    # the BiC held-out set carves images from BOTH streams (bic.py:98-132)
+    # -> batches label over the full knowing range
+    batches = [_ts_batch_classes(500 + i, 0, IT_PAST + IT_NEW)
+               for i in range(4)]
+
+    # ---- reference: Bic_Evaluator bias layers + the bic_training loop
+    # body (Bic_Trainer.bic_training without its dataset plumbing).
+    # BiasLayer hardcodes device='cuda' in its Parameter constructions
+    # (bic.py:15-16) and Bic_Evaluator calls Module.cuda() (bic.py:27);
+    # route both to CPU like the ref_cpu fixture does for tensors.
+    real_ones, real_zeros = torch.ones, torch.zeros
+
+    def _cpu(fn):
+        return lambda *a, **k: fn(
+            *a, **{kk: v for kk, v in k.items() if kk != "device"})
+
+    monkeypatch.setattr(torch, "ones", _cpu(real_ones))
+    monkeypatch.setattr(torch, "zeros", _cpu(real_zeros))
+    monkeypatch.setattr(torch.nn.Module, "cuda", lambda self, *a, **k: self)
+    sys.path.insert(0, REF)
+    try:
+        from IL_method import bic as ref_bic
+    finally:
+        sys.path.remove(REF)
+
+    tm = copy.deepcopy(tm)
+    states = [dict(num_past_class=0, num_knowing_class=IT_PAST,
+                   num_new_class=IT_PAST),
+              dict(num_past_class=IT_PAST,
+                   num_knowing_class=IT_PAST + IT_NEW,
+                   num_new_class=IT_NEW)]
+    params = RefParams(states, bic=True, every_iter=1, mas=False,
+                       agem=False, no_clip=False,
+                       beta_on_replay=0.9, beta_on_where="all")
+    evaluator = ref_bic.Bic_Evaluator(params, cur_state=1)
+    tm.train()
+    tm.freeze_bn()
+    tm.freeze_layers([])  # bic_training freezes the whole detector
+    opt = torch.optim.Adam(
+        evaluator.bias_layers[0].parameters(), lr=BIC_LR)  # bic.py:96
+    trainer = _RefTrainerStub(tm, None, params, opt)
+    trainer.bic = evaluator
+    il = ref_losses.IL_Loss(trainer)
+
+    ref_curve, ref_ab = [], []
+    opt.zero_grad()
+    for it in range(n_steps):
+        images, _, _, annots = batches[it % len(batches)]
+        losses = il.forward(
+            torch.tensor(images.transpose(0, 3, 1, 2)),
+            torch.tensor(annots), is_replay=True, is_bic=True)
+        loss = torch.tensor(0.0)
+        for v in losses.values():
+            if v is not None:
+                loss = loss + v
+        ref_curve.append(float(loss.detach()))
+        loss.backward()
+        opt.step()
+        opt.zero_grad()
+        bl = evaluator.bias_layers[0]
+        ref_ab.append((float(bl.alpha.detach()), float(bl.beta.detach())))
+
+    # ---- ours: the real BicTrainer step (masked Adam over the per-state
+    # scalar vectors, loss via compute_losses with bic_correct)
+    anchors = jnp.asarray(anchors_for_shape(H, W))
+    bt = BicTrainer(
+        jm, anchors, ILConfig(), FocalConfig(), BiCConfig(lr=BIC_LR),
+        new_class_counts=[IT_PAST, IT_NEW], cur_state=1,
+        num_past_class=IT_PAST, bic_loader=None)
+    tree, opt_state = bt.params.tree(), bt.opt_state
+    our_curve, our_ab = [], []
+    for it in range(n_steps):
+        images, boxes, labels, _ = batches[it % len(batches)]
+        tree, opt_state, m = bt._train_step(
+            tree, opt_state, svars, anchors, jnp.asarray(images),
+            jnp.asarray(boxes), jnp.asarray(labels))
+        our_curve.append(float(m["total_loss"]))
+        our_ab.append((float(tree["alphas"][0]), float(tree["betas"][0])))
+
+    # the detector is frozen, so the only trajectory state is the two
+    # scalars — conv-numerics noise cannot compound through the weights
+    for it, (o, r) in enumerate(zip(our_curve, ref_curve)):
+        assert abs(o - r) / max(abs(r), 1e-6) < 0.01, (
+            f"step {it}: ours {o:.5f} vs ref {r:.5f}")
+    for it, ((oa, ob), (ra, rb)) in enumerate(zip(our_ab, ref_ab)):
+        np.testing.assert_allclose(oa, ra, rtol=0, atol=2e-3,
+                                   err_msg=f"alpha step {it}")
+        np.testing.assert_allclose(ob, rb, rtol=0, atol=2e-3,
+                                   err_msg=f"beta step {it}")
+    # non-degenerate: the bias scalars actually moved, the same way
+    assert abs(ref_ab[-1][0] - 1.0) > 5e-3, "alpha never trained"
+    assert abs(our_ab[-1][0] - 1.0) > 5e-3
+    assert np.sign(ref_ab[-1][0] - 1.0) == np.sign(our_ab[-1][0] - 1.0)
+    # the detector stayed bit-frozen on the reference side too
+    for n, p in tm.named_parameters():
+        assert not p.requires_grad, n
