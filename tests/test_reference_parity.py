@@ -1625,3 +1625,136 @@ def test_bic_trajectory_equivalence(il_trajectory_models, ref_cpu,
     # the detector stayed bit-frozen on the reference side too
     for n, p in tm.named_parameters():
         assert not p.requires_grad, n
+
+
+def test_final_correction_trajectory_equivalence(il_trajectory_models,
+                                                 ref_cpu):
+    """The FINAL-CORRECTION phase (train.py:118-131, 323-331), trajectory
+    level. Two parts:
+
+    (a) Quirk proof: the reference's ``correction_new_class`` does
+        ``loss.backward(); optimizer.step()`` but — unlike
+        ``training_iteration`` (train.py:72-73) — never calls
+        ``zero_grad``, so gradients ACCUMULATE across correction
+        iterations (step k applies the sum of grads 1..k). Proven here
+        by driving the reference's own function twice and observing the
+        stale grad. Our ``_final_correction`` deliberately takes clean
+        per-batch steps instead (README §Reference divergences).
+
+    (b) Trajectory equivalence under the intended semantics: 12 steps of
+        the enhance-only objective (zero_grad inserted between reference
+        iterations) vs our ``correction=True`` jitted step from shared
+        weights — the enhance-loss curves track and both frameworks
+        drive the term down. Completes the composed-semantics matrix:
+        joint, incremental, warm, BiC, final-correction."""
+    import copy
+
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.config import (
+        FocalConfig,
+        ILConfig,
+        ScheduleConfig,
+    )
+    from cl_object_detection_tpu.il.losses import LossStatics
+    from cl_object_detection_tpu.ops.anchors import anchors_for_shape
+    from cl_object_detection_tpu.train.optim import make_optimizer
+    from cl_object_detection_tpu.train.state import TrainState
+    from cl_object_detection_tpu.train.step import StepStatics, make_train_step
+
+    tm0, _tt, jm, _jt, svars, _tvars = il_trajectory_models
+    n_steps = 12
+    # correction runs over the REPLAY loader (train.py:328) -> old classes
+    batches = [_ts_batch_classes(600 + i, 0, IT_PAST) for i in range(4)]
+    states = [dict(num_past_class=0, num_knowing_class=IT_PAST),
+              dict(num_past_class=IT_PAST,
+                   num_knowing_class=IT_PAST + IT_NEW)]
+
+    def make_ref():
+        tm = copy.deepcopy(tm0)
+        params = RefParams(states, enhance_error=True,
+                           enhance_error_method="L2", every_iter=1,
+                           mas=False, agem=False, no_clip=False,
+                           beta_on_replay=0.9, beta_on_where="all")
+        white_list = ["classificationModel.output"]
+        group1 = [p for n, p in tm.named_parameters()
+                  if not any(w in n for w in white_list)]
+        tm.train()
+        tm.freeze_bn()
+        opt = torch.optim.Adam(
+            [{"params": group1},
+             {"params": tm.classificationModel.output.parameters()}],
+            lr=IT_LR)
+        opt.zero_grad(set_to_none=True)
+        trainer = _RefTrainerStub(tm, None, params, opt)
+        return tm, opt, trainer, ref_losses.IL_Loss(trainer)
+
+    def ref_data(it):
+        images, _, _, annots = batches[it % len(batches)]
+        return {"img": torch.tensor(images.transpose(0, 3, 1, 2)),
+                "annot": torch.tensor(annots)}
+
+    # ---- (a) the missing-zero_grad accumulation quirk, on the
+    # reference's own function
+    tm, opt, trainer, il = make_ref()
+    clean = ref_train.correction_new_class(trainer, il, ref_data(0))
+    assert clean is False, "enhance term degenerate: no correction fired"
+    probe = next(p for n, p in tm.named_parameters()
+                 if "classificationModel.output" in n)
+    stale = probe.grad.detach().clone()
+    assert float(stale.abs().max()) > 0, (
+        "correction_new_class cleared its grads — quirk gone; update the "
+        "README divergence entry and make _final_correction faithful")
+    ref_train.correction_new_class(trainer, il, ref_data(0))
+    # step 2 applied grad_1 + grad_2, not grad_2: the residual kept growing
+    assert float(probe.grad.detach().abs().max()) > float(stale.abs().max())
+
+    # ---- (b) trajectory under the intended (clean-step) semantics
+    tm, opt, trainer, il = make_ref()
+    ref_curve = []
+    for it in range(n_steps):
+        losses = il.forward(ref_data(it)["img"].float(),
+                            ref_data(it)["annot"], is_replay=True)
+        loss = losses["enhance_loss"]
+        ref_curve.append(float(loss.detach()))
+        loss.backward()
+        opt.step()
+        opt.zero_grad(set_to_none=True)
+
+    sched = ScheduleConfig(lr=IT_LR, every_iter=1)
+    tx = make_optimizer(sched, svars["params"], use_clip=False)
+    state = TrainState.create(
+        params=svars["params"], batch_stats=svars["batch_stats"], tx=tx)
+    anchors = jnp.asarray(anchors_for_shape(H, W))
+    # the exact statics pair ILTrainer builds for correction=True
+    # (trainer.py _loss_statics(enhance_only=True) + _step_statics)
+    step = make_train_step(
+        jm, None, anchors, ILConfig(), FocalConfig(),
+        LossStatics(num_classes=IT_PAST + IT_NEW, num_past_class=IT_PAST,
+                    incremental=False, is_replay=True,
+                    use_enhance_error=True, enhance_error_method="L2",
+                    enhance_only=True),
+        StepStatics(every_iter=1, use_clip=False, warm_classifier=False,
+                    num_past_class=IT_PAST,
+                    num_knowing_class=IT_PAST + IT_NEW, num_anchors=9),
+        donate=False,
+    )
+    our_curve = []
+    for it in range(n_steps):
+        images, boxes, labels, _ = batches[it % len(batches)]
+        state, m = step(state, jnp.asarray(images), jnp.asarray(boxes),
+                        jnp.asarray(labels))
+        our_curve.append(float(m["enhance_loss"]))
+
+    # the objective is a thresholded tail statistic (scores > 0.05,
+    # losses.py:591-603): mask-membership flips near the threshold make
+    # this the noisiest term in the taxonomy, so the bound is looser than
+    # the dense-objective trajectories
+    for it, (o, r) in enumerate(zip(our_curve, ref_curve)):
+        assert abs(o - r) / max(abs(r), 1e-6) < 0.05, (
+            f"step {it}: ours {o:.5f} vs ref {r:.5f}")
+    # both frameworks drive the term toward clean, the phase's whole
+    # point (at the test lr the 12-step descent is ~10%; calibrated run:
+    # 0.00338 -> 0.00300)
+    assert ref_curve[-1] < 0.95 * ref_curve[0], "ref correction never bit"
+    assert our_curve[-1] < 0.95 * our_curve[0], "our correction never bit"
