@@ -1758,3 +1758,204 @@ def test_final_correction_trajectory_equivalence(il_trajectory_models,
     # 0.00338 -> 0.00300)
     assert ref_curve[-1] < 0.95 * ref_curve[0], "ref correction never bit"
     assert our_curve[-1] < 0.95 * our_curve[0], "our correction never bit"
+
+
+def test_agem_trajectory_equivalence(il_trajectory_models, ref_cpu):
+    """A-GEM (IL_method/agem.py), trajectory level. Two parts:
+
+    (a) ``fix_grad`` formula parity on a manufactured conflicting
+        gradient pair (guarantees the ``angle < 0`` projection branch
+        executes): the reference's own ``A_GEM.fix_grad`` on a tiny torch
+        module vs ``train.step._agem_project`` on the same arrays — exact
+        to 1e-5, with the 'bn'-name exclusion (agem.py:76,122-143)
+        honored by both (ours via the zeroed bn leaves of
+        ``il.agem.bn_mask``).
+
+    (b) 12 iterations of the A-GEM training path from shared weights:
+        per-iteration replay-gradient recompute (train.py:233-234
+        semantics = our ``refresh_every=1``) over the same 2 replay
+        batches — each batch's grad clipped to 0.1 then averaged — and
+        the main-step clip -> project -> Adam pipeline (train.py:60-69).
+        Asserts the replay-grad global norms match per iteration and the
+        loss curves track; the measured sign sequence (no conflicting
+        step in this window) is pinned, with the active projection
+        branch covered by part (a)."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from cl_object_detection_tpu.config import (
+        FocalConfig,
+        ILConfig,
+        ScheduleConfig,
+    )
+    from cl_object_detection_tpu.il.agem import AGem
+    from cl_object_detection_tpu.il.losses import LossStatics
+    from cl_object_detection_tpu.ops.anchors import anchors_for_shape
+    from cl_object_detection_tpu.train.optim import make_optimizer
+    from cl_object_detection_tpu.train.state import TrainState
+    from cl_object_detection_tpu.train.step import (
+        StepStatics,
+        _agem_project,
+        make_train_step,
+    )
+
+    sys.path.insert(0, REF)
+    try:
+        from IL_method.agem import A_GEM
+    finally:
+        sys.path.remove(REF)
+
+    # ---- (a) manufactured-conflict fix_grad parity
+    class Tiny(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = torch.nn.Linear(7, 5, bias=True)
+            self.bn_scale = torch.nn.Parameter(torch.ones(5))
+
+    tiny = Tiny()
+    rng = np.random.RandomState(0)
+    g = {n: rng.randn(*p.shape).astype(np.float32)
+         for n, p in tiny.named_parameters()}
+    # anti-aligned replay grad on the non-bn part -> angle < 0 guaranteed
+    r = {n: (-0.5 * v + 0.05 * rng.randn(*v.shape)).astype(np.float32)
+         for n, v in g.items()}
+    for n, p in tiny.named_parameters():
+        p.grad = torch.tensor(g[n])
+    ref_agem = A_GEM(dataloader_replay=None, num_groups=1)
+    ref_agem.replay_grad = torch.cat(
+        [torch.tensor(r[n]).view(-1) for n, _ in tiny.named_parameters()
+         if "bn" not in n])
+    ref_agem.fix_grad(tiny)
+    ref_proj = {n: p.grad.numpy().copy() for n, p in tiny.named_parameters()}
+    ours_proj = _agem_project(
+        {n: jnp.asarray(v) for n, v in g.items()},
+        {n: (jnp.zeros_like(jnp.asarray(v)) if "bn" in n
+             else jnp.asarray(r[n])) for n, v in g.items()})
+    for n in g:
+        np.testing.assert_allclose(np.asarray(ours_proj[n]), ref_proj[n],
+                                   rtol=1e-5, atol=1e-6, err_msg=n)
+    assert np.abs(ref_proj["conv.weight"] - g["conv.weight"]).max() > 1e-4
+    np.testing.assert_array_equal(ref_proj["bn_scale"], g["bn_scale"])
+
+    # ---- (b) trajectory
+    tm0, _tt, jm, _jt, svars, _tvars = il_trajectory_models
+    n_iter = 12
+    new_batches = [_ts_batch_classes(700 + i, IT_PAST, IT_PAST + IT_NEW)
+                   for i in range(4)]
+    rep_batches = [_ts_batch_classes(800 + i, 0, IT_PAST) for i in range(2)]
+    states = [dict(num_past_class=0, num_knowing_class=IT_PAST),
+              dict(num_past_class=IT_PAST,
+                   num_knowing_class=IT_PAST + IT_NEW)]
+
+    tm = copy.deepcopy(tm0)
+    params = RefParams(states, agem=True, every_iter=1, mas=False,
+                       no_clip=False, beta_on_replay=0.9,
+                       beta_on_where="all")
+    white_list = ["classificationModel.output"]
+    group1 = [p for n, p in tm.named_parameters()
+              if not any(w in n for w in white_list)]
+    tm.train()
+    tm.freeze_bn()
+    opt = torch.optim.Adam(
+        [{"params": group1},
+         {"params": tm.classificationModel.output.parameters()}], lr=IT_LR)
+    opt.zero_grad(set_to_none=True)
+    trainer = _RefTrainerStub(tm, None, params, opt)
+
+    def rdata(images, annots):
+        return {"img": torch.tensor(images.transpose(0, 3, 1, 2)),
+                "annot": torch.tensor(annots)}
+
+    replay_loader_ref = [rdata(b[0], b[3]) for b in rep_batches]
+    agem_ref = A_GEM(dataloader_replay=replay_loader_ref,
+                     num_groups=len(replay_loader_ref))
+    trainer.agem = agem_ref
+    il = ref_losses.IL_Loss(trainer)
+
+    # record the projection decision by wrapping the reference's own
+    # fix_grad with the same flat-vector formula it uses internally
+    ref_signs = []
+    real_fix = agem_ref.fix_grad
+
+    def recording_fix(model):
+        cur = torch.cat([p.grad.view(-1) for n, p in model.named_parameters()
+                         if "bn" not in n and p.requires_grad])
+        ref_signs.append(
+            bool((cur * agem_ref.replay_grad).sum() < 0))
+        return real_fix(model)
+
+    agem_ref.fix_grad = recording_fix
+
+    ref_curve, ref_rnorms = [], []
+    for it in range(n_iter):
+        trainer.backward_next()
+        ref_train.change_beta(trainer, is_replay=False)
+        agem_ref.cal_replay_grad(il)  # per-iteration refresh (train.py:233)
+        ref_rnorms.append(float(agem_ref.replay_grad.norm()))
+        images, _, _, annots = new_batches[it % len(new_batches)]
+        info = ref_train.training_iteration(trainer, il,
+                                            rdata(images, annots),
+                                            is_replay=False)
+        ref_curve.append(info["total_loss"])
+    assert len(ref_signs) == n_iter
+
+    # ---- ours
+    sched = ScheduleConfig(lr=IT_LR, every_iter=1)
+    tx = make_optimizer(sched, svars["params"], use_clip=False)
+    state = TrainState.create(
+        params=svars["params"], batch_stats=svars["batch_stats"], tx=tx)
+    anchors = jnp.asarray(anchors_for_shape(H, W))
+
+    class _Loader(list):
+        pass
+
+    loader = _Loader()
+    for images, boxes, labels, _ in rep_batches:
+        loader.append(types.SimpleNamespace(
+            images=jnp.asarray(images), boxes=jnp.asarray(boxes),
+            labels=jnp.asarray(labels)))
+    agem_ours = AGem(
+        jm, anchors, ILConfig(), FocalConfig(),
+        LossStatics(num_classes=IT_PAST + IT_NEW, num_past_class=IT_PAST,
+                    incremental=False, is_replay=True),
+        replay_loader=loader)
+    step = make_train_step(
+        jm, None, anchors, ILConfig(), FocalConfig(),
+        LossStatics(num_classes=IT_PAST + IT_NEW, num_past_class=IT_PAST,
+                    incremental=True),
+        StepStatics(every_iter=1, use_clip=True, grad_clip=0.1,
+                    warm_classifier=False, num_past_class=IT_PAST,
+                    num_knowing_class=IT_PAST + IT_NEW, num_anchors=9,
+                    use_agem=True),
+        donate=False,
+    )
+    our_curve, our_rnorms = [], []
+    for it in range(n_iter):
+        rg = agem_ours.compute_replay_grad(
+            {"params": state.params, "batch_stats": state.batch_stats})
+        our_rnorms.append(float(jnp.sqrt(sum(
+            jnp.sum(x * x) for x in jax.tree.leaves(rg)))))
+        images, boxes, labels, _ = new_batches[it % len(new_batches)]
+        state, m = step(state, jnp.asarray(images), jnp.asarray(boxes),
+                        jnp.asarray(labels), replay_grad=rg)
+        our_curve.append(float(m["total_loss"]))
+
+    # replay-gradient parity, iteration by iteration: same clipped,
+    # averaged, bn-excluded gradient of the same replay loss
+    for it, (o, r_) in enumerate(zip(our_rnorms, ref_rnorms)):
+        assert abs(o - r_) / max(r_, 1e-9) < 0.02, (
+            f"replay-grad norm step {it}: ours {o:.6f} vs ref {r_:.6f}")
+    # loss curves track (same bounds family as the incremental oracle)
+    for it, (o, r_) in enumerate(zip(our_curve, ref_curve)):
+        assert abs(o - r_) / max(abs(r_), 1e-6) < 0.03, (
+            f"step {it}: ours {o:.5f} vs ref {r_:.5f}")
+    # measured behavior of this window (fixed seeds): the new-class and
+    # replay gradients never anti-align — no step projects, in EITHER
+    # framework (if ours projected while the reference didn't, the curve
+    # and replay-norm parity above would break). The active angle<0
+    # branch is covered exactly by part (a); pinning the measured sign
+    # sequence keeps the composed no-op wiring honest too.
+    assert not any(ref_signs), f"conflict appeared; recalibrate: {ref_signs}"
+    assert ref_curve[-1] < ref_curve[0] and our_curve[-1] < our_curve[0]
