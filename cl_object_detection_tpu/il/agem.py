@@ -24,12 +24,18 @@ from .losses import LossStatics, compute_losses
 
 
 def bn_mask(params) -> Any:
-    """0 for BatchNorm leaves, 1 elsewhere (agem.py skips 'bn' names)."""
+    """0 for BatchNorm leaves, 1 elsewhere — via the reference's NAME test
+    `"bn" not in name` (agem.py:76,122-128), which catches bn/bn1/bn2/bn3
+    but NOT the downsample BatchNorm (torch names it `downsample.1`), so
+    downsample-BN affines stay in the replay-gradient vector upstream and
+    here (our `downsample_bn` modules are kept in)."""
     def is_bn(path):
-        return any(str(getattr(p, "key", "")).startswith("bn")
-                   or str(getattr(p, "key", "")).endswith("_bn")
-                   or str(getattr(p, "key", "")) == "bn"
-                   for p in path)
+        keys = [str(getattr(p, "key", "")) for p in path]
+        # every FrozenBN stores its leaves under an inner "bn" container —
+        # that key alone must not exclude the downsample BN's leaves
+        return any(k.startswith("bn")
+                   and (i == 0 or keys[i - 1] != "downsample_bn")
+                   for i, k in enumerate(keys))
 
     return jax.tree_util.tree_map_with_path(
         lambda path, x: jnp.zeros_like(x) if is_bn(path) else jnp.ones_like(x),

@@ -22,9 +22,17 @@ from ..ops.boxes import positive_assignment
 
 
 def _excluded(path) -> bool:
+    # The reference filter is the NAME test `"bn" not in name` (mas.py:98),
+    # which catches bn/bn1/bn2/bn3 but NOT the downsample BatchNorm (torch
+    # names it `downsample.1`) — so downsample-BN affines carry importance
+    # upstream. Mirror that: exclude only our `bn*`-named modules, keep
+    # `downsample_bn` in (pinned by test_mas_trajectory_equivalence).
     keys = [str(getattr(p, "key", "")) for p in path]
-    if any(k.startswith("bn") or k.endswith("_bn") or k == "bn" for k in keys):
-        return True
+    for i, k in enumerate(keys):
+        # every FrozenBN stores its leaves under an inner "bn" container —
+        # that key alone must not exclude the downsample BN's leaves
+        if k.startswith("bn") and (i == 0 or keys[i - 1] != "downsample_bn"):
+            return True
     for i in range(len(keys) - 1):
         if keys[i] == "classification_head" and keys[i + 1] == "output":
             return True

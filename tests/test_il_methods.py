@@ -51,6 +51,11 @@ def test_mas_penalty_and_mask():
     assert float(mask["bn1"]["bn"]["scale"].sum()) == 0
     assert float(mask["classification_head"]["output"]["kernel"].sum()) == 0
     assert float(mask["backbone"]["w"].sum()) == 3
+    # downsample BN carries importance (the reference's name filter misses
+    # `downsample.1` — mirrored faithfully)
+    p2 = {"layer2_0": {"downsample_bn": {"bn": {"scale": jnp.ones(2)}}}}
+    assert float(importance_mask(p2)["layer2_0"]["downsample_bn"]["bn"]
+                 ["scale"].sum()) == 2
 
     imp = jax.tree.map(lambda m: m * 2.0, mask)
     # penalty = ratio * sum(2 * (1-0)^2) over backbone only = 0.5*2*3 = 3
@@ -71,6 +76,11 @@ def test_bn_mask():
     m = bn_mask(params)
     assert float(m["backbone"]["bn1"]["bn"]["scale"].sum()) == 0
     assert float(m["backbone"]["conv1"]["kernel"].sum()) == 2
+    # the reference's `"bn" not in name` filter misses the downsample BN
+    # (torch `downsample.1`) — it stays IN the replay-grad vector
+    p2 = {"layer2_0": {"downsample_bn": {"bn": {"scale": jnp.ones(2)}}}}
+    assert float(bn_mask(p2)["layer2_0"]["downsample_bn"]["bn"]["scale"]
+                 .sum()) == 2
 
 
 def test_classifier_similarity_loss():
